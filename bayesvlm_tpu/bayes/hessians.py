@@ -1,0 +1,257 @@
+"""Analytic GGN Hessians of the contrastive losses, reformulated for the MXU.
+
+The reference computes, per source sample b (ref:bayesvlm/hessians.py:10-48):
+
+    H = sum_b  J_norm_b (J_diag_b - J_pp_b) J_norm_b^T * exp(2s)
+
+materializing [B, D, D] intermediates (J_diag via a batched [C,D]x[C,D]
+product per sample). That is O(B*C*D^2) FLOPs and O(B*D^2) memory — it is why
+the reference processes 5 samples at a time on an A100.
+
+TPU-native reformulation (exact, same math): with u_b = x_b/||x_b||,
+r_b = ||x_b||, the normalization Jacobian is J_norm_b = (I - u_b u_b^T)/r_b,
+and for any symmetric M_b:
+
+    J_norm M J_norm = (M - u v^T - v u^T + (u^T v) u u^T) / r^2,  v = M u.
+
+Both losses have M_b = Y^T diag(c_b) Y (- q_b q_b^T for InfoNCE), so every
+sum over b collapses into weighted Gram GEMMs:
+
+    sum_b Y^T diag(c_b) Y / r_b^2        = Y^T diag(sum_b c_b / r_b^2) Y
+    sum_b q_b q_b^T / r_b^2              = Qbar^T Qbar        (Qbar rows q_b/r_b)
+    sum_b (u v^T + v u^T - s u u^T)/r^2  = Ubar^T Vbar + Vbar^T Ubar
+                                           - Ubar^T diag(s_b) Ubar
+
+with v_b = Y^T (c_b * z_b) (- q_b (p_b^T z_b)), z_b = Y u_b, s_b = u_b^T v_b.
+Everything is a [B,C]x[C,D] or [D,B]x[B,D] GEMM: O(B*C*D) FLOPs, no [B,D,D]
+tensor ever exists. For the default workload (B=C=32768, D=512) this is
+~170x fewer FLOPs than the reference loop and maps 1:1 onto the MXU.
+
+Multi-chip: shard the source-batch axis; each chip computes its partial
+[D,D] terms and the [C] weight vector; `psum` over the data axis yields the
+global factors (see bayesvlm_tpu.dist).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _l2_normalize(x: Array, axis: int = -1, keepdims: bool = False):
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    normalized = x / norm
+    if not keepdims:
+        norm = jnp.squeeze(norm, axis=axis)
+    return normalized, norm
+
+
+@partial(jax.jit, static_argnames=())
+@jax.default_matmul_precision("highest")
+def _infonce_block_stats(
+    source_embeds: Array,  # [B, D]
+    Y: Array,              # [C, D] normalized targets
+    logit_scale: Array,
+    row_mask: Optional[Array] = None,  # [B] 1.0 valid / 0.0 padded
+):
+    """Per-block partial sums for the InfoNCE GGN.
+
+    Returns (w [C], G [D,D]) such that the block's Hessian contribution is
+    Y^T diag(w) Y + G (exp(2s) factor included). fp32 matmul precision is
+    forced: Hessian factors accumulate over 10^5+ samples and TPU-default
+    bf16 passes would bias the Gram sums. `row_mask` zeroes the contribution
+    of padded rows (sharded accumulation pads B to the device count).
+    """
+    scale = jnp.exp(logit_scale)
+    if row_mask is not None:
+        # keep padded rows finite under 1/||x||, then zero their weight
+        safe = row_mask[:, None] > 0
+        source_embeds = jnp.where(safe, source_embeds, 1.0)
+    U, r = _l2_normalize(source_embeds)          # [B, D], [B]
+    inv_r = 1.0 / r
+    if row_mask is not None:
+        inv_r = inv_r * row_mask
+    inv_r2 = inv_r * inv_r
+
+    Z = U @ Y.T                                   # [B, C] cosine sims
+    P = jax.nn.softmax(Z * scale, axis=-1)        # [B, C]
+
+    # w = sum_b p_b / r_b^2  -> Y^T diag(w) Y term (computed by caller)
+    w = P.T @ inv_r2                              # [C]
+
+    Q = P @ Y                                     # [B, D]   q_b = Y^T p_b
+    PZ = P * Z                                    # [B, C]
+    T = PZ @ Y                                    # [B, D]   Y^T (p*z)
+    pz_dot = jnp.sum(PZ, axis=-1)                 # [B]      p^T z  (= q^T u)
+    V = T - Q * pz_dot[:, None]                   # [B, D]   v_b
+    s = jnp.sum(PZ * Z, axis=-1) - pz_dot**2      # [B]      u^T v
+
+    Ub = U * inv_r[:, None]                       # rows u_b / r_b
+    Vb = V * inv_r[:, None]
+    Qb = Q * inv_r[:, None]
+
+    G = -(Qb.T @ Qb) - (Ub.T @ Vb) - (Vb.T @ Ub) + (Ub * s[:, None]).T @ Ub
+    return w * scale**2, G * scale**2
+
+
+def hessian_infonce(
+    source_embeds: Array,
+    target_embeds: Array,
+    logit_scale: Array,
+    block_size: Optional[int] = None,
+) -> Array:
+    """GGN of -log softmax_C(sim * e^s) wrt the source embeddings, summed
+    over the batch. Exact reformulation of ref:bayesvlm/hessians.py:10-48.
+
+    Args:
+      source_embeds: [B, D]
+      target_embeds: [C, D] (the contrastive "classes")
+      logit_scale:   scalar log-temperature
+      block_size:    optional chunking of B to bound the [B, C] intermediates.
+
+    Returns: [D, D]
+    """
+    source_embeds = jnp.asarray(source_embeds, jnp.float32)
+    target_embeds = jnp.asarray(target_embeds, jnp.float32)
+    logit_scale = jnp.asarray(logit_scale, jnp.float32)
+    Y, _ = _l2_normalize(target_embeds)
+
+    B = source_embeds.shape[0]
+    if block_size is None or block_size >= B:
+        w, G = _infonce_block_stats(source_embeds, Y, logit_scale)
+    else:
+        n_full = B // block_size
+        blocks = source_embeds[: n_full * block_size].reshape(
+            n_full, block_size, -1
+        )
+
+        def body(carry, blk):
+            w_acc, G_acc = carry
+            w, G = _infonce_block_stats(blk, Y, logit_scale)
+            return (w_acc + w, G_acc + G), None
+
+        init = (
+            jnp.zeros(Y.shape[0], jnp.float32),
+            jnp.zeros((Y.shape[1], Y.shape[1]), jnp.float32),
+        )
+        (w, G), _ = jax.lax.scan(body, init, blocks)
+        if n_full * block_size < B:
+            w_r, G_r = _infonce_block_stats(
+                source_embeds[n_full * block_size :], Y, logit_scale
+            )
+            w = w + w_r
+            G = G + G_r
+
+    with jax.default_matmul_precision("highest"):
+        return Y.T @ (w[:, None] * Y) + G
+
+
+@partial(jax.jit, static_argnames=())
+@jax.default_matmul_precision("highest")
+def _siglip_block_stats(
+    x_block: Array,        # [B, D] source embeds
+    diag_idx: Array,       # [B] int — index j for which label is +1
+    Yn: Array,             # [N, D] normalized targets
+    logit_scale: Array,
+    logit_bias: Array,
+    row_mask: Optional[Array] = None,
+):
+    scale = jnp.exp(logit_scale)
+    if row_mask is not None:
+        safe = row_mask[:, None] > 0
+        x_block = jnp.where(safe, x_block, 1.0)
+    U, r = _l2_normalize(x_block)
+    inv_r = 1.0 / r
+    if row_mask is not None:
+        inv_r = inv_r * row_mask
+    inv_r2 = inv_r * inv_r
+
+    Z = U @ Yn.T                                   # [B, N] cosine sims
+    logits = Z * scale + logit_bias
+    N = Yn.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (x_block.shape[0], N), 1)
+    labels = jnp.where(col == diag_idx[:, None], 1.0, -1.0)
+    sig = jax.nn.sigmoid(logits * labels)
+    C = (scale**2) * sig * (1.0 - sig)             # [B, N] per-pair weights
+
+    w = C.T @ inv_r2                               # [N]
+    CZ = C * Z
+    V = CZ @ Yn                                    # [B, D]  v_b = Y^T (c*z)
+    s = jnp.sum(CZ * Z, axis=-1)                   # [B]     u^T v
+
+    Ub = U * inv_r[:, None]
+    Vb = V * inv_r[:, None]
+    G = -(Ub.T @ Vb) - (Vb.T @ Ub) + (Ub * s[:, None]).T @ Ub
+    return w, G
+
+
+def hessian_siglip(
+    x_batch: Array,
+    indices_batch: Array,
+    y: Array,
+    logit_scale: Array,
+    logit_bias: Array,
+    block_size: Optional[int] = None,
+) -> Array:
+    """GGN of the SigLIP sigmoid loss wrt the source embeddings, summed over
+    the batch. Exact reformulation of ref:bayesvlm/hessians.py:50-117.
+
+    `indices_batch[b]` gives the row of the [N,N] label matrix (2I - 1) used
+    for sample b (ref:bayesvlm/hessians.py:89-90). The chunk-over-j loop of
+    the reference is unnecessary here: no [B, D, D] intermediate exists.
+    """
+    x_batch = jnp.asarray(x_batch, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    Yn, _ = _l2_normalize(y)
+    logit_scale = jnp.asarray(logit_scale, jnp.float32)
+    logit_bias = jnp.asarray(logit_bias, jnp.float32)
+    indices_batch = jnp.asarray(indices_batch, jnp.int32)
+
+    B = x_batch.shape[0]
+    if block_size is None or block_size >= B:
+        w, G = _siglip_block_stats(x_batch, indices_batch, Yn, logit_scale, logit_bias)
+    else:
+        n_full = B // block_size
+        xb = x_batch[: n_full * block_size].reshape(n_full, block_size, -1)
+        ib = indices_batch[: n_full * block_size].reshape(n_full, block_size)
+
+        def body(carry, blk):
+            w_acc, G_acc = carry
+            x_blk, i_blk = blk
+            w, G = _siglip_block_stats(x_blk, i_blk, Yn, logit_scale, logit_bias)
+            return (w_acc + w, G_acc + G), None
+
+        init = (
+            jnp.zeros(Yn.shape[0], jnp.float32),
+            jnp.zeros((Yn.shape[1], Yn.shape[1]), jnp.float32),
+        )
+        (w, G), _ = jax.lax.scan(body, init, (xb, ib))
+        if n_full * block_size < B:
+            w_r, G_r = _siglip_block_stats(
+                x_batch[n_full * block_size :],
+                indices_batch[n_full * block_size :],
+                Yn, logit_scale, logit_bias,
+            )
+            w = w + w_r
+            G = G + G_r
+
+    with jax.default_matmul_precision("highest"):
+        return Yn.T @ (w[:, None] * Yn) + G
+
+
+@partial(jax.jit, static_argnames=("append_bias_column",))
+@jax.default_matmul_precision("highest")
+def activation_gram(activations: Array, append_bias_column: bool = False) -> Array:
+    """A-factor partial sum: activations^T @ activations, with an optional
+    appended ones column for biased projections
+    (ref:scripts/hessian_estimation.py:100-104).
+    """
+    a = jnp.asarray(activations, jnp.float32)
+    if append_bias_column:
+        a = jnp.concatenate([a, jnp.ones_like(a[:, :1])], axis=-1)
+    return a.T @ a

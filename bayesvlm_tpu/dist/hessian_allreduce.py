@@ -1,0 +1,132 @@
+"""Sharded K-FAC factor accumulation: shard the source-batch axis over the
+`data` mesh axis, compute per-shard partial statistics with the GEMM
+reformulation, and `psum` the [C]-weight vector and [D, D] partials over
+ICI. The [C, D] target matrix is replicated (it is the contrastive "class
+batch" — 32768 x 1024 fp32 = 128 MB, well within HBM).
+
+This is the SPMD replacement for the reference's single-GPU inner loop
+(ref:scripts/hessian_estimation.py:62-104); no counterpart exists upstream.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from bayesvlm_tpu.bayes.hessians import (
+    _infonce_block_stats,
+    _siglip_block_stats,
+    _l2_normalize,
+)
+
+Array = jax.Array
+
+
+def _pad_rows(x: np.ndarray, multiple: int):
+    B = x.shape[0]
+    pad = (-B) % multiple
+    if pad == 0:
+        return x, np.ones(B, np.float32)
+    mask = np.concatenate([np.ones(B, np.float32), np.zeros(pad, np.float32)])
+    x = np.concatenate([x, np.ones((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x, mask
+
+
+def sharded_hessian_infonce(
+    source_embeds,
+    target_embeds,
+    logit_scale,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Array:
+    """Multi-chip InfoNCE GGN: returns the replicated [D, D] Hessian."""
+    n_dev = mesh.shape[axis]
+    src, mask = _pad_rows(np.asarray(source_embeds, np.float32), n_dev)
+    Y, _ = _l2_normalize(jnp.asarray(target_embeds, jnp.float32))
+    scale = jnp.asarray(logit_scale, jnp.float32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(axis)),
+        out_specs=P(),
+    )
+    def _shard_fn(src_shard, Y_rep, s, mask_shard):
+        w, G = _infonce_block_stats(src_shard, Y_rep, s, row_mask=mask_shard)
+        w = jax.lax.psum(w, axis)
+        G = jax.lax.psum(G, axis)
+        return Y_rep.T @ (w[:, None] * Y_rep) + G
+
+    return jax.jit(_shard_fn)(
+        jnp.asarray(src), Y, scale, jnp.asarray(mask)
+    )
+
+
+def sharded_hessian_siglip(
+    x_batch,
+    indices_batch,
+    y,
+    logit_scale,
+    logit_bias,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Array:
+    n_dev = mesh.shape[axis]
+    x, mask = _pad_rows(np.asarray(x_batch, np.float32), n_dev)
+    idx = np.asarray(indices_batch, np.int32)
+    pad = x.shape[0] - idx.shape[0]
+    if pad:
+        idx = np.concatenate([idx, np.zeros(pad, np.int32)])
+    Yn, _ = _l2_normalize(jnp.asarray(y, jnp.float32))
+    s = jnp.asarray(logit_scale, jnp.float32)
+    b = jnp.asarray(logit_bias, jnp.float32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P(), P(axis)),
+        out_specs=P(),
+    )
+    def _shard_fn(x_shard, idx_shard, Yn_rep, s_, b_, mask_shard):
+        w, G = _siglip_block_stats(x_shard, idx_shard, Yn_rep, s_, b_, row_mask=mask_shard)
+        w = jax.lax.psum(w, axis)
+        G = jax.lax.psum(G, axis)
+        return Yn_rep.T @ (w[:, None] * Yn_rep) + G
+
+    return jax.jit(_shard_fn)(
+        jnp.asarray(x), jnp.asarray(idx), Yn, s, b, jnp.asarray(mask)
+    )
+
+
+def sharded_activation_gram(
+    activations,
+    mesh: Mesh,
+    append_bias_column: bool = False,
+    axis: str = "data",
+) -> Array:
+    """Batch-sharded activations^T @ activations with psum over ICI."""
+    n_dev = mesh.shape[axis]
+    a, mask = _pad_rows(np.asarray(activations, np.float32), n_dev)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(),
+    )
+    def _shard_fn(a_shard, mask_shard):
+        a_masked = a_shard * mask_shard[:, None]
+        if append_bias_column:
+            ones = mask_shard[:, None]
+            a_masked = jnp.concatenate([a_masked, ones], axis=-1)
+        with jax.default_matmul_precision("highest"):
+            partial_gram = a_masked.T @ a_masked
+        return jax.lax.psum(partial_gram, axis)
+
+    return jax.jit(_shard_fn)(jnp.asarray(a), jnp.asarray(mask))

@@ -1,0 +1,53 @@
+"""Device mesh construction and sharding helpers.
+
+The workload is embarrassingly data-parallel (frozen encoders, [D, D]
+Hessian partial sums): the canonical mesh is 1-D `('data',)` over all chips
+of a slice, with an optional `('data', 'model')` 2-D mesh kept available for
+tensor-sharding the ViT-H towers. Collectives ride ICI within a slice;
+`jax.distributed.initialize()` extends the same code across slices (DCN)
+without change — there is no reference counterpart to any of this
+(the reference is single-device; SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the given (default: all) devices.
+
+    shape defaults to putting every device on the first axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = [len(devices)] + [1] * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
+
+
+def default_mesh() -> Mesh:
+    return make_mesh()
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 over the data axis, replicate the rest."""
+    spec = [axis] + [None] * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k

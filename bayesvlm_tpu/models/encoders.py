@@ -1,0 +1,219 @@
+"""High-level encoder objects: tower + params + jitted forward.
+
+Plays the role of the reference's `CLIPImageEncoder` / `CLIPTextEncoder` /
+`SiglipImageEncoder` / `SiglipTextEncoder` modules (ref:bayesvlm/vlm.py),
+returning `EncoderResult(embeds, activations, residuals)`.
+
+The projection layer (the Laplace layer) is exposed via
+`get_projection()` / `with_projection()` so the active-learning fine-tune
+loop can update just that layer functionally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesvlm_tpu.models.clip import CLIPTextTower, CLIPVisionTower
+from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME, VLMConfig
+from bayesvlm_tpu.models.siglip import SiglipTextTower, SiglipVisionTower
+from bayesvlm_tpu.probforward.smith import ProbabilisticHead
+from bayesvlm_tpu.types import EncoderResult
+
+Array = jax.Array
+
+# default logit scales of the pretrained checkpoints (used when weights are
+# random-initialized / unavailable offline): CLIP ln(100)≈4.6052 is the
+# trained value of laion CLIP models; SigLIP base ships scale≈4.765,
+# bias≈-16.5 (HF configs).
+DEFAULT_LOGIT_SCALE = {"clip": 4.6052, "siglip": 4.7651}
+DEFAULT_LOGIT_BIAS = {"clip": 0.0, "siglip": -16.5}
+
+
+def _projection_path(family: str, tower: str) -> Tuple[str, ...]:
+    if family == "clip":
+        return ("visual_projection",) if tower == "vision" else ("text_projection",)
+    return ("head_fc2",) if tower == "vision" else ("head",)
+
+
+@dataclasses.dataclass
+class _EncoderBase:
+    config: VLMConfig
+    params: Any
+    module: Any
+    tower: str  # "vision" | "text"
+
+    def _apply_fn(self):
+        raise NotImplementedError
+
+    # ---- projection-layer (Laplace layer) access ----
+    def projection_tree(self) -> Any:
+        node = self.params
+        for k in _projection_path(self.config.family, self.tower):
+            node = node[k]
+        return node
+
+    def with_projection(self, new_projection: Any) -> "_EncoderBase":
+        path = _projection_path(self.config.family, self.tower)
+
+        def _set(tree, keys, value):
+            if not keys:
+                return value
+            out = dict(tree)
+            out[keys[0]] = _set(tree[keys[0]], keys[1:], value)
+            return out
+
+        return dataclasses.replace(self, params=_set(self.params, path, new_projection))
+
+    def projection_l2(self) -> float:
+        return float(
+            sum(jnp.sum(jnp.square(p)) for p in jax.tree_util.tree_leaves(self.projection_tree()))
+        )
+
+    def projection_num_params(self) -> int:
+        return int(
+            sum(p.size for p in jax.tree_util.tree_leaves(self.projection_tree()))
+        )
+
+    def save_projection_weights(self, path):
+        """Serialize the projection params (torch-compatible .pt dict)."""
+        from bayesvlm_tpu.io.torch_compat import save_pt_array
+
+        tree = jax.tree_util.tree_map(np.asarray, self.projection_tree())
+        # store kernel transposed back to torch [out, in] convention
+        if "kernel" in tree:
+            save_pt_array(np.ascontiguousarray(tree["kernel"].T), path)
+        else:
+            save_pt_array(tree, path)
+
+
+@dataclasses.dataclass
+class ImageEncoder(_EncoderBase):
+    """Vision tower wrapper. Call with NHWC float images."""
+
+    def __post_init__(self):
+        family = self.config.family
+
+        @jax.jit
+        def fwd(params, pixels):
+            out = self.module.apply({"params": params}, pixels)
+            if family == "siglip":
+                embeds, activations, residuals = out
+                return EncoderResult(embeds=embeds, activations=activations, residuals=residuals)
+            embeds, activations = out
+            return EncoderResult.create(embeds=embeds, activations=activations)
+
+        self._fwd = fwd
+
+    def __call__(self, images: Array) -> EncoderResult:
+        if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
+            images = jnp.transpose(images, (0, 2, 3, 1))  # NCHW -> NHWC
+        return self._fwd(self.params, images)
+
+
+@dataclasses.dataclass
+class TextEncoder(_EncoderBase):
+    """Text tower wrapper. Call with int32 token ids [B, T]."""
+
+    tokenizer: Optional[Callable] = None
+
+    def __post_init__(self):
+        family = self.config.family
+
+        @jax.jit
+        def fwd(params, input_ids):
+            embeds, activations = self.module.apply({"params": params}, input_ids)
+            return EncoderResult.create(embeds=embeds, activations=activations)
+
+        self._fwd = fwd
+
+    def __call__(self, input_ids: Array) -> EncoderResult:
+        return self._fwd(self.params, input_ids)
+
+    def encode_texts(self, texts) -> EncoderResult:
+        if self.tokenizer is None:
+            raise ValueError(
+                "no tokenizer attached; pass token ids directly or attach one "
+                "via bayesvlm_tpu.data.tokenizer"
+            )
+        ids = self.tokenizer(texts)
+        return self(jnp.asarray(ids, jnp.int32))
+
+
+def _make_towers(config: VLMConfig, dtype, remat: bool):
+    if config.family == "clip":
+        return (
+            CLIPVisionTower(config.vision, dtype=dtype, remat=remat),
+            CLIPTextTower(config.text, dtype=dtype, remat=remat),
+        )
+    return (
+        SiglipVisionTower(config.vision, dtype=dtype, remat=remat),
+        SiglipTextTower(config.text, dtype=dtype, remat=remat),
+    )
+
+
+def init_params(config: VLMConfig, seed: int = 0, dtype=jnp.float32, remat=False):
+    vision, text = _make_towers(config, dtype, remat)
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    img = jnp.zeros((1, config.vision.image_size, config.vision.image_size, 3), dtype)
+    ids = jnp.zeros((1, config.text.max_length), jnp.int32)
+    vparams = vision.init(k1, img)["params"]
+    tparams = text.init(k2, ids)["params"]
+    return vparams, tparams
+
+
+def load_model(
+    model_str: str,
+    weights_dir: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+    remat: bool = False,
+) -> Tuple[ImageEncoder, TextEncoder, ProbabilisticHead]:
+    """Build (image_encoder, text_encoder, similarity head) for a model name
+    (ref:bayesvlm/utils.py:28-46).
+
+    `weights_dir`: local HF snapshot directory (offline). When None, params
+    are randomly initialized — useful for tests/benchmarks; real runs must
+    pass converted weights.
+    """
+    config = CONFIGS_BY_NAME[model_str]
+    vision, text = _make_towers(config, dtype, remat)
+
+    if weights_dir is not None:
+        from bayesvlm_tpu.models.convert import (
+            _load_state_dict,
+            convert_from_snapshot,
+            load_logit_scale_bias,
+        )
+
+        wd = Path(weights_dir)
+        vparams = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_from_snapshot(wd, config.family, "vision", config.vision.num_layers),
+        )
+        tparams = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_from_snapshot(wd, config.family, "text", config.text.num_layers),
+        )
+        scale, bias = load_logit_scale_bias(_load_state_dict(wd))
+        if scale is None:
+            scale = DEFAULT_LOGIT_SCALE[config.family]
+    else:
+        vparams, tparams = init_params(config, seed=seed, dtype=dtype)
+        scale = DEFAULT_LOGIT_SCALE[config.family]
+        bias = DEFAULT_LOGIT_BIAS[config.family]
+
+    image_encoder = ImageEncoder(config=config, params=vparams, module=vision, tower="vision")
+    text_encoder = TextEncoder(config=config, params=tparams, module=text, tower="text")
+    head = ProbabilisticHead.create(
+        logit_scale=scale,
+        logit_bias=bias if config.family == "siglip" else 0.0,
+        has_bias=config.projection_has_bias,
+    )
+    return image_encoder, text_encoder, head

@@ -1,0 +1,166 @@
+"""Shared transformer building blocks (Flax) for the CLIP/SigLIP towers.
+
+TPU-first conventions:
+  - `dtype` (compute dtype) defaults to bfloat16 on TPU-class hardware;
+    parameters stay float32 (`param_dtype`).
+  - attention softmax and layer norms run in float32 regardless of the
+    compute dtype (numerics parity with the fp32 reference towers).
+  - no data-dependent control flow; masks are static per (config, seq_len).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def get_activation(name: str) -> Callable[[Array], Array]:
+    if name == "gelu":
+        # exact gelu (HF "gelu" for laion CLIP)
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name in ("gelu_tanh", "gelu_pytorch_tanh", "gelu_new"):
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation: {name}")
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v/out projections (HF layout)."""
+
+    hidden_size: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        queries: Array,                 # [B, Tq, D]
+        keys_values: Optional[Array] = None,  # [B, Tk, D]; None -> self-attn
+        mask: Optional[Array] = None,   # [Tq, Tk] additive (float) mask
+    ) -> Array:
+        if keys_values is None:
+            keys_values = queries
+        H = self.num_heads
+        Dh = self.hidden_size // H
+
+        dense = lambda name: nn.Dense(
+            self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = dense("q_proj")(queries)
+        k = dense("k_proj")(keys_values)
+        v = dense("v_proj")(keys_values)
+
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+        q = q.reshape(B, Tq, H, Dh)
+        k = k.reshape(B, Tk, H, Dh)
+        v = v.reshape(B, Tk, H, Dh)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(Dh).astype(q.dtype)
+        scores = scores.astype(jnp.float32)
+        if mask is not None:
+            scores = scores + mask[None, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, self.hidden_size)
+        return dense("out_proj")(out)
+
+
+class MLP(nn.Module):
+    hidden_size: int
+    mlp_dim: int
+    hidden_act: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        act = get_activation(self.hidden_act)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        h = act(h)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
+
+
+class LayerNormFP32(nn.Module):
+    """LayerNorm computed in fp32, output cast back to compute dtype."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.LayerNorm(
+            epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32, name="ln"
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (CLIP & SigLIP both)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_dim: int
+    hidden_act: str
+    layer_norm_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + MultiHeadAttention(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            name="self_attn",
+        )(h, mask=mask)
+        h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
+        x = x + MLP(
+            hidden_size=self.hidden_size,
+            mlp_dim=self.mlp_dim,
+            hidden_act=self.hidden_act,
+            dtype=self.dtype,
+            name="mlp",
+        )(h)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    mlp_dim: int
+    hidden_act: str
+    layer_norm_eps: float
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=())
+        for i in range(self.num_layers):
+            x = block_cls(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                hidden_act=self.hidden_act,
+                layer_norm_eps=self.layer_norm_eps,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, mask)
+        return x
+
+
+def causal_mask(seq_len: int, dtype=jnp.float32) -> Array:
+    """Additive causal mask [T, T]: 0 on/below diag, large-negative above."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+    return jnp.where(j <= i, 0.0, jnp.finfo(dtype).min).astype(dtype)

@@ -1,0 +1,40 @@
+"""Glue helpers mirroring ref:bayesvlm/utils.py."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from bayesvlm_tpu.constants import MODEL_NAME_MAP
+
+
+def get_model_type_and_size(model_str: str) -> Tuple[str, str]:
+    """'clip-base' -> ('clip', 'base')  (ref:bayesvlm/utils.py:6-8)."""
+    name, size = model_str.split("-", 1)
+    return name, size
+
+
+def get_image_size(model_str: str) -> int:
+    _, _, size = MODEL_NAME_MAP[model_str]
+    return size
+
+
+def get_model_url(model_str: str) -> str:
+    provider, model_id, _ = MODEL_NAME_MAP[model_str]
+    return f"{provider}/{model_id}"
+
+
+def get_likelihood(model_type: str) -> str:
+    """'clip' -> info_nce, 'siglip'/'tiny' siglip variants -> per family
+    (ref:bayesvlm/utils.py:23-26)."""
+    if model_type == "clip":
+        return "info_nce"
+    if model_type == "tiny":
+        return "info_nce"
+    return "siglip"
+
+
+def get_likelihood_for_model(model_str: str) -> str:
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+
+    family = CONFIGS_BY_NAME[model_str].family
+    return "info_nce" if family == "clip" else "siglip"

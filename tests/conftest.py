@@ -1,0 +1,45 @@
+"""Test configuration: force CPU with a virtual 8-device mesh so sharding
+tests run anywhere (the SURVEY §4 substitute for fake backends)."""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when axon/TPU is present
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+# Persistent compilation cache — compiles on this host are slow; cache them.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # env var alone is overridden by axon
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+REFERENCE_HESSIANS = Path("/root/reference/hessians")
+CLIP_B32_DIR = REFERENCE_HESSIANS / "hessian_CLIP-ViT-B-32-laion2B-s34B-b79K"
+SIGLIP_DIR = REFERENCE_HESSIANS / "hessian_siglip-base-patch16-256"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def clip_b32_hessian_dir():
+    if not CLIP_B32_DIR.exists():
+        pytest.skip("reference hessian fixtures not available")
+    return CLIP_B32_DIR
+
+
+@pytest.fixture(scope="session")
+def siglip_hessian_dir():
+    if not SIGLIP_DIR.exists():
+        pytest.skip("reference hessian fixtures not available")
+    return SIGLIP_DIR

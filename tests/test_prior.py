@@ -1,0 +1,96 @@
+"""Prior-precision optimization: parity with the reference torch loop
+(Adam maximize on log lambda, swapped-logdet convention)."""
+
+import numpy as np
+import pytest
+
+from bayesvlm_tpu.bayes.prior import (
+    l2_norm_squared,
+    log_det_kfac,
+    optimize_prior_precision,
+    param_count,
+)
+
+
+def _torch_reference_optimize(A, B, lmbda_init, n, lr, num_steps, proj_w):
+    torch = pytest.importorskip("torch")
+    A = torch.tensor(A)
+    B = torch.tensor(B)
+    w = torch.tensor(proj_w)
+    projection_norm = (w**2).sum()
+    P = w.numel()
+    log_lmbda = torch.nn.Parameter(torch.tensor(float(lmbda_init)).log())
+    sqrt_n = torch.tensor(float(n)).sqrt()
+    opt = torch.optim.Adam([log_lmbda], lr=lr, maximize=True)
+    for _ in range(num_steps):
+        opt.zero_grad()
+        lmbda = log_lmbda.exp()
+        sqrt_l = lmbda.sqrt()
+        A_ = A * sqrt_n + sqrt_l * torch.eye(A.shape[0])
+        B_ = B * sqrt_n + sqrt_l * torch.eye(B.shape[0])
+        log_prior = -0.5 * lmbda * projection_norm + 0.5 * P * lmbda.log()
+        log_det = torch.logdet(A_) * A.shape[0] + torch.logdet(B_) * B.shape[0]
+        marglik = log_prior - log_det
+        marglik.backward()
+        opt.step()
+    return float(log_lmbda.exp())
+
+
+def _spd(rng, d, scale=1.0):
+    M = rng.normal(size=(d, d)).astype(np.float32)
+    return (M @ M.T / d) * scale + np.eye(d, dtype=np.float32) * 0.1
+
+
+def test_matches_torch_reference_small():
+    rng = np.random.default_rng(0)
+    A = _spd(rng, 12)
+    B = _spd(rng, 7)
+    w = rng.normal(size=(7, 12)).astype(np.float32) * 0.05
+    expected = _torch_reference_optimize(A, B, 50.0, 10.0, 1e-2, 200, w)
+    got = float(
+        optimize_prior_precision(
+            projection_l2_norm=float((w**2).sum()),
+            projection_num_params=w.size,
+            A=A, B=B, lmbda_init=50.0, n=10.0, lr=1e-2, num_steps=200,
+        )
+    )
+    assert got == pytest.approx(expected, rel=1e-3)
+
+
+def test_golden_lambda_clip_b32(clip_b32_hessian_dir):
+    """Re-optimizing lambda from the shipped factors with zeroshot.py's
+    hyperparameters must land in a sane range and, with the reference's own
+    settings, stay finite and positive."""
+    from bayesvlm_tpu.io.artifacts import load_hessians
+
+    A, B, info = load_hessians(clip_b32_hessian_dir, "img", return_info=True)
+    rng = np.random.default_rng(1)
+    # fake projection stats with realistic magnitude (512x768 CLIP-B/32)
+    w = rng.normal(size=(512, 768)).astype(np.float32) * 0.02
+    lam = float(
+        optimize_prior_precision(
+            projection_l2_norm=float((w**2).sum()),
+            projection_num_params=w.size,
+            A=A, B=B,
+            lmbda_init=300.0, n=10.0, lr=1e-2, num_steps=300,
+        )
+    )
+    assert np.isfinite(lam) and lam > 0
+
+
+def test_pytree_helpers():
+    params = {"w": np.ones((3, 4), np.float32) * 2, "b": np.ones((4,), np.float32)}
+    assert float(l2_norm_squared(params)) == pytest.approx(3 * 4 * 4 + 4)
+    assert param_count(params) == 16
+
+
+def test_logdet_convention_is_swapped():
+    """p*logdetA + q*logdetB, NOT the Kronecker identity
+    (ref:bayesvlm/hessians.py:276-280)."""
+    rng = np.random.default_rng(2)
+    A = _spd(rng, 5)
+    B = _spd(rng, 3)
+    sA = np.linalg.slogdet(A)[1]
+    sB = np.linalg.slogdet(B)[1]
+    got = float(log_det_kfac(A, B))
+    assert got == pytest.approx(5 * sA + 3 * sB, rel=1e-5)
