@@ -1,0 +1,225 @@
+"""Selection-layer tests: scores/topk vs direct math, kNN dedup semantics,
+EPIG identity checks, EGL closed form vs autodiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesvlm_tpu.bayes.kfac import KroneckerFactorizedCovariance
+from bayesvlm_tpu.select import (
+    complexity_score,
+    create_subset_json,
+    diagonal_wasserstein_distance,
+    entropy_from_probs,
+    epig_from_probs_using_matmul,
+    expected_gradient_length,
+    extract_test_train_indices,
+    find_similar_samples_cosine,
+    kmeans_fit,
+    marginal_entropy_from_probs,
+    select_random,
+    select_topk,
+    select_topk_randomized,
+)
+from bayesvlm_tpu.types import EncoderResult, ProbabilisticLogits
+
+
+def _probs(rng, N, C):
+    mean = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.1, 1.0, size=(N, C)), jnp.float32)
+    return ProbabilisticLogits(mean=mean, var=var)
+
+
+def test_complexity_var_is_trace():
+    rng = np.random.default_rng(0)
+    pl = _probs(rng, 10, 4)
+    got = np.asarray(complexity_score(pl, "var"))
+    np.testing.assert_allclose(got, np.asarray(pl.var).sum(-1), rtol=1e-6)
+
+
+def test_topk_matches_numpy():
+    rng = np.random.default_rng(1)
+    pl = _probs(rng, 50, 6)
+    idx = np.asarray(select_topk(pl, 5, variant="var"))
+    scores = np.asarray(pl.var).sum(-1)
+    expected = np.argsort(scores)[::-1][:5]
+    np.testing.assert_array_equal(np.sort(idx), np.sort(expected))
+
+
+def test_topk_ignore_percentage():
+    rng = np.random.default_rng(2)
+    pl = _probs(rng, 100, 4)
+    idx_full = np.asarray(select_topk(pl, 10, variant="var", ignore_percentage=0.1))
+    scores = np.asarray(pl.var).sum(-1)
+    expected = np.argsort(scores)[::-1][10:20]  # offset = 10
+    np.testing.assert_array_equal(idx_full, expected)
+
+
+def test_select_random_is_permutation_prefix():
+    rng = np.random.default_rng(3)
+    pl = _probs(rng, 30, 3)
+    idx = np.asarray(select_random(pl, 30, seed=0))
+    assert sorted(idx.tolist()) == list(range(30))
+    idx2 = np.asarray(select_random(pl, 5, seed=0))
+    np.testing.assert_array_equal(idx2, idx[:5])
+
+
+def test_randomized_topk_biased_to_high_scores():
+    rng = np.random.default_rng(4)
+    mean = jnp.zeros((200, 3))
+    var = jnp.asarray(
+        np.concatenate([np.full((100, 3), 0.01), np.full((100, 3), 5.0)]), jnp.float32
+    )
+    pl = ProbabilisticLogits(mean=mean, var=var)
+    idx = np.asarray(select_topk_randomized(pl, 100, temp=3.0, variant="var", seed=0))
+    assert (idx >= 100).mean() > 0.8
+
+
+def test_create_subset_json_keys():
+    rng = np.random.default_rng(5)
+    pl = _probs(rng, 40, 4)
+    d = create_subset_json(pl, jnp.zeros(40, jnp.int32), 5)
+    assert "topk_var" in d and "random_0" in d and "topk_randomized_var_2" in d
+    assert all(len(v) == 5 for v in d.values())
+
+
+def test_wasserstein_distance_formula():
+    rng = np.random.default_rng(6)
+    mu1 = rng.normal(size=(4, 5)).astype(np.float32)
+    mu2 = rng.normal(size=(3, 5)).astype(np.float32)
+    c1 = rng.uniform(0.1, 1, size=(4, 5)).astype(np.float32)
+    c2 = rng.uniform(0.1, 1, size=(3, 5)).astype(np.float32)
+    got = np.asarray(diagonal_wasserstein_distance(mu1, mu2, c1, c2))
+    for i in range(4):
+        for j in range(3):
+            expected = (
+                np.sum((mu1[i] - mu2[j]) ** 2)
+                + c1[i].sum() + c2[j].sum()
+                - 2 * np.sum(np.sqrt(c1[i] * c2[j]))
+            )
+            assert got[i, j] == pytest.approx(expected, rel=1e-4)
+    # W2^2 between identical Gaussians is 0
+    same = np.asarray(diagonal_wasserstein_distance(mu1, mu1, c1, c1))
+    np.testing.assert_allclose(np.diagonal(same), 0.0, atol=1e-4)
+
+
+def _toy_features(rng, n, d, p):
+    return EncoderResult.create(
+        embeds=jnp.asarray(rng.normal(size=(n, d)), jnp.float32),
+        activations=jnp.asarray(rng.normal(size=(n, p)), jnp.float32),
+    )
+
+
+def test_knn_cosine_output_contract():
+    rng = np.random.default_rng(7)
+    train = _toy_features(rng, 60, 8, 6)
+    test = _toy_features(rng, 20, 8, 6)
+    A = np.eye(6, dtype=np.float32)
+    B = np.eye(8, dtype=np.float32)
+    cov = KroneckerFactorizedCovariance(A_inv=jnp.asarray(A), B_inv=jnp.asarray(B))
+    idx_test = np.array([3, 7, 11])
+    vals_test = np.array([0.5, 0.2, 0.9])
+    out = find_similar_samples_cosine(
+        train, test, idx_test, vals_test, k_nearest=2, source_covariance=cov,
+        buffersize=10,
+    )
+    assert list(out.keys()) == [3, 7, 11]
+    flat = extract_test_train_indices(out)
+    assert set(flat["test"]) == {3, 7, 11}
+    # enough unique train indices collected
+    assert len(flat["train"]) >= 2 * 3 - 2  # duplicates possible after trim
+    for v in out.values():
+        assert len(v["indices"]) == len(v["similarities"])
+
+
+def test_entropy_from_probs_zero_safe():
+    p = jnp.asarray([[0.5, 0.5, 0.0], [1.0, 0.0, 0.0]])
+    e = np.asarray(entropy_from_probs(p))
+    assert e[0] == pytest.approx(np.log(2), rel=1e-5)
+    assert e[1] == pytest.approx(0.0, abs=1e-7)
+
+
+def test_epig_independent_is_zero():
+    """If pool and target predictions are identical across all K samples
+    (no epistemic spread), the joint factorizes and EPIG -> 0."""
+    rng = np.random.default_rng(8)
+    C, K = 4, 16
+    base_pool = rng.dirichlet(np.ones(C), size=5).astype(np.float32)
+    base_targ = rng.dirichlet(np.ones(C), size=3).astype(np.float32)
+    probs_pool = jnp.asarray(np.repeat(base_pool[:, None, :], K, axis=1))
+    probs_targ = jnp.asarray(np.repeat(base_targ[:, None, :], K, axis=1))
+    scores = np.asarray(epig_from_probs_using_matmul(probs_pool, probs_targ))
+    np.testing.assert_allclose(scores, 0.0, atol=5e-3)
+
+
+def test_epig_positive_when_correlated():
+    """Perfectly correlated pool/target predictions give EPIG = H > 0."""
+    C, K = 2, 64
+    # sample k flips both pool and target to the same one-hot
+    probs = np.zeros((1, K, C), np.float32)
+    probs[0, : K // 2, 0] = 1.0
+    probs[0, K // 2 :, 1] = 1.0
+    p = jnp.asarray(probs)
+    scores = np.asarray(epig_from_probs_using_matmul(p, p))
+    assert scores[0] == pytest.approx(np.log(2), abs=0.05)
+
+
+def test_marginal_entropy():
+    rng = np.random.default_rng(9)
+    p = rng.dirichlet(np.ones(5), size=(7, 11)).astype(np.float32)
+    got = np.asarray(marginal_entropy_from_probs(jnp.asarray(p)))
+    mean_p = p.mean(axis=1)
+    expected = -np.sum(np.where(mean_p > 0, mean_p * np.log(mean_p), 0), -1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_egl_matches_autodiff():
+    """Closed-form EGL must equal per-(sample, class) autodiff grad norms."""
+    rng = np.random.default_rng(10)
+    B, C, D, P = 4, 3, 6, 5
+    kernel = jnp.asarray(rng.normal(size=(P, D)), jnp.float32)  # flax layout
+    acts = jnp.asarray(rng.normal(size=(B, P)), jnp.float32)
+    residuals = jnp.zeros((B, D), jnp.float32)
+    embeds = acts @ kernel
+    tgt = _toy_features(rng, C, D, P)
+    scale, bias = jnp.float32(0.7), jnp.float32(0.0)
+
+    img = EncoderResult(embeds=embeds, activations=acts, residuals=residuals)
+    pl = ProbabilisticLogits(
+        mean=jnp.asarray(rng.normal(size=(B, C)), jnp.float32),
+        var=jnp.asarray(rng.uniform(0.1, 1, size=(B, C)), jnp.float32),
+    )
+    got = np.asarray(
+        expected_gradient_length(img, tgt, pl, scale, bias, proj_has_bias=False)
+    )
+
+    # autodiff reference: grad of CE wrt the kernel for each (i, c)
+    probit = np.asarray(pl.probit_softmax())
+    Yn = np.asarray(tgt.embeds / jnp.linalg.norm(tgt.embeds, axis=-1, keepdims=True))
+
+    def ce_loss(W, a_i, c):
+        e = a_i @ W
+        u = e / jnp.linalg.norm(e)
+        logits = u @ Yn.T * jnp.exp(scale) + bias
+        return -jax.nn.log_softmax(logits)[c]
+
+    expected = np.zeros(B)
+    for i in range(B):
+        for c in range(C):
+            g = jax.grad(ce_loss)(kernel, acts[i], c)
+            expected[i] += probit[i, c] * float(jnp.linalg.norm(g.flatten()))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_kmeans_separates_clusters():
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(50, 4)).astype(np.float32) + 10
+    b = rng.normal(size=(50, 4)).astype(np.float32) - 10
+    x = jnp.asarray(np.concatenate([a, b]))
+    centroids, assign = kmeans_fit(x, 2, seed=0, num_iters=20)
+    assign = np.asarray(assign)
+    # each true cluster maps to one label
+    assert len(set(assign[:50])) == 1
+    assert len(set(assign[50:])) == 1
+    assert assign[0] != assign[50]
