@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Stage 1: fit the K-FAC Laplace posterior over a (LAION-scale) dataset.
+
+Drop-in CLI for ref:scripts/hessian_estimation.py:269-313 — same flags and
+defaults, same artifact directory contract (A/B_{img,txt}_analytic.pt +
+prior_precision_analytic.json), file-existence-gated resume.
+
+TPU path: encoders run as jitted batch forwards; the GGN runs as
+GEMM-reformulated class batches, sharded over all local devices when more
+than one is present.
+"""
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main(
+    dataset: str,
+    model_str: str,
+    precompute_batch_size: int,
+    la_num_classes: int,
+    la_batch_size: int,
+    num_workers: int,
+    hessian_dir: str,
+    num_files=None,
+    max_datapoints=None,
+    siglip_chunk_size_j: int = 8000,
+    lambda_init_txt: float = 400,
+    lambda_init_img: float = 800,
+    n_init_txt: float = 1.0,
+    n_init_img: float = 1.0,
+    lr: float = 1e-2,
+    num_steps: int = 300,
+    weights_dir=None,
+    tokenizer_dir=None,
+    use_mesh: bool = True,
+):
+    from bayesvlm_tpu.bayes.estimation import kfac_ggn
+    from bayesvlm_tpu.bayes.prior import optimize_prior_precision
+    from bayesvlm_tpu.data.factory import DataModuleFactory
+    from bayesvlm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+    from bayesvlm_tpu.data.transforms import get_transform
+    from bayesvlm_tpu.dist.mesh import default_mesh
+    from bayesvlm_tpu.inference.precompute import compute_features
+    from bayesvlm_tpu.io.artifacts import save_hessians, save_prior_precision
+    from bayesvlm_tpu.io.torch_compat import load_pt_array, save_pt_array
+    from bayesvlm_tpu.models import load_model
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+    from bayesvlm_tpu.utils import get_image_size, get_likelihood_for_model
+
+    os.makedirs(hessian_dir, exist_ok=True)
+    config = CONFIGS_BY_NAME[model_str]
+    likelihood = get_likelihood_for_model(model_str)
+    transform = get_transform(config.family, get_image_size(model_str))
+
+    image_encoder, text_encoder, head = load_model(model_str, weights_dir=weights_dir)
+    if tokenizer_dir is not None:
+        text_encoder.tokenizer = HFTokenizer.from_local(
+            tokenizer_dir, config.text.max_length
+        )
+    elif text_encoder.tokenizer is None:
+        text_encoder.tokenizer = HashTokenizer(
+            config.text.vocab_size, config.text.max_length,
+            eos_id=config.text.eos_token_id,
+        )
+
+    dm = DataModuleFactory(
+        batch_size=precompute_batch_size,
+        num_workers=num_workers,
+        shuffle_train=False,
+        train_transform=transform,
+        test_transform=transform,
+    ).create(dataset)
+    if num_files is not None and dataset == "laion400m":
+        print(f"Reducing number of files from {len(dm.data_path)} to {num_files}")
+        dm.data_path = dm.data_path[:num_files]
+    dm.setup()
+    loader = dm.test_dataloader()
+
+    path_act_img, path_emb_img = compute_features(
+        image_encoder, loader, tag="img", cache_dir=hessian_dir, modality="image"
+    )
+    path_act_txt, path_emb_txt = compute_features(
+        text_encoder, loader, tag="txt", cache_dir=hessian_dir, modality="text"
+    )
+
+    print("Loading embeddings and activations...")
+    activations_img = np.asarray(load_pt_array(path_act_img))
+    embeddings_img = np.asarray(load_pt_array(path_emb_img))
+    activations_txt = np.asarray(load_pt_array(path_act_txt))
+    embeddings_txt = np.asarray(load_pt_array(path_emb_txt))
+
+    if max_datapoints is not None:
+        activations_img = activations_img[:max_datapoints]
+        embeddings_img = embeddings_img[:max_datapoints]
+        activations_txt = activations_txt[:max_datapoints]
+        embeddings_txt = embeddings_txt[:max_datapoints]
+
+    mesh = default_mesh() if use_mesh else None
+    scale = head.logit_scale
+    bias = head.logit_bias
+
+    A_img_path = Path(hessian_dir) / "A_img_analytic.pt"
+    B_img_path = Path(hessian_dir) / "B_img_analytic.pt"
+    if A_img_path.exists() and B_img_path.exists():
+        A_img = np.asarray(load_pt_array(A_img_path))
+        B_img = np.asarray(load_pt_array(B_img_path))
+    else:
+        print("Computing Hessian for image encoder...")
+        A_img, B_img = kfac_ggn(
+            scale, bias, la_num_classes,
+            embeddings_img, activations_img, embeddings_txt,
+            likelihood, mesh=mesh, progress=True,
+        )
+        save_hessians(hessian_dir, A_img, B_img, "img")
+
+    A_txt_path = Path(hessian_dir) / "A_txt_analytic.pt"
+    B_txt_path = Path(hessian_dir) / "B_txt_analytic.pt"
+    if A_txt_path.exists() and B_txt_path.exists():
+        A_txt = np.asarray(load_pt_array(A_txt_path))
+        B_txt = np.asarray(load_pt_array(B_txt_path))
+    else:
+        print("Computing Hessian for text encoder...")
+        A_txt, B_txt = kfac_ggn(
+            scale, bias, la_num_classes,
+            embeddings_txt, activations_txt, embeddings_img,
+            likelihood, mesh=mesh, progress=True,
+        )
+        save_hessians(hessian_dir, A_txt, B_txt, "txt")
+
+    print("Optimizing prior precision for image encoder...")
+    lambda_img = float(
+        optimize_prior_precision(
+            image_encoder.projection_l2(), image_encoder.projection_num_params(),
+            A=A_img, B=B_img, lmbda_init=lambda_init_img, n=n_init_img,
+            lr=lr, num_steps=num_steps,
+        )
+    )
+    print("Optimizing prior precision for text encoder...")
+    lambda_txt = float(
+        optimize_prior_precision(
+            text_encoder.projection_l2(), text_encoder.projection_num_params(),
+            A=A_txt, B=B_txt, lmbda_init=lambda_init_txt, n=n_init_txt,
+            lr=lr, num_steps=num_steps,
+        )
+    )
+    save_prior_precision(hessian_dir, lambda_img, n_init_img, lambda_txt, n_init_txt)
+    print(json.dumps({"lambda_img": lambda_img, "lambda_txt": lambda_txt}))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--device", type=str, default="tpu")  # kept for CLI parity
+    parser.add_argument("--dataset", type=str, default="laion400m")
+    parser.add_argument("--model", type=str, default="clip-base")
+    parser.add_argument("--precompute_batch_size", type=int, default=10)
+    parser.add_argument("--la_num_classes", type=int, default=32768)
+    parser.add_argument("--la_batch_size", type=int, default=5)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--hessian_dir", type=str, default="hessians/custom-hessian-clip-base")
+    parser.add_argument("--num_files", type=int, default=60)
+    parser.add_argument("--max_datapoints", type=int, default=327680)
+    parser.add_argument("--siglip_chunk_size", type=int, default=8000)
+    parser.add_argument("--lambda_init_txt", type=float, default=400)
+    parser.add_argument("--lambda_init_img", type=float, default=800)
+    parser.add_argument("--n_init_txt", type=float, default=1.0)
+    parser.add_argument("--n_init_img", type=float, default=1.0)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--num_steps", type=int, default=300)
+    # TPU-specific extras
+    parser.add_argument("--weights_dir", type=str, default=None,
+                        help="local HF snapshot dir with converted weights")
+    parser.add_argument("--tokenizer_dir", type=str, default=None)
+    parser.add_argument("--no_mesh", action="store_true")
+    args = parser.parse_args()
+
+    main(
+        dataset=args.dataset,
+        model_str=args.model,
+        precompute_batch_size=args.precompute_batch_size,
+        la_num_classes=args.la_num_classes,
+        la_batch_size=args.la_batch_size,
+        num_workers=args.num_workers,
+        hessian_dir=args.hessian_dir,
+        num_files=args.num_files,
+        max_datapoints=args.max_datapoints,
+        siglip_chunk_size_j=args.siglip_chunk_size,
+        lambda_init_txt=args.lambda_init_txt,
+        lambda_init_img=args.lambda_init_img,
+        n_init_txt=args.n_init_txt,
+        n_init_img=args.n_init_img,
+        lr=args.lr,
+        num_steps=args.num_steps,
+        weights_dir=args.weights_dir,
+        tokenizer_dir=args.tokenizer_dir,
+        use_mesh=not args.no_mesh,
+    )
