@@ -141,7 +141,10 @@ def save_pt_array(array, path: Union[str, os.PathLike]) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     arr = np.asarray(array)
     if _HAS_TORCH:
-        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+        buf = np.ascontiguousarray(arr)
+        if not buf.flags.writeable:
+            buf = buf.copy()
+        torch.save(torch.from_numpy(buf), path)
         return
     _save_pt_numpy(arr, path)
 

@@ -54,10 +54,12 @@ def _ln(sd, prefix):
 
 
 def _encoder_layers(sd, prefix, num_layers):
-    out = {}
+    """Per-layer HF weights -> scan-stacked [L, ...] flax layout
+    (see TransformerEncoder: one nn.scan block over stacked params)."""
+    per_layer = []
     for i in range(num_layers):
         lp = f"{prefix}.layers.{i}"
-        out[f"layers_{i}"] = {
+        per_layer.append({
             "layer_norm1": _ln(sd, f"{lp}.layer_norm1"),
             "layer_norm2": _ln(sd, f"{lp}.layer_norm2"),
             "self_attn": {
@@ -70,8 +72,14 @@ def _encoder_layers(sd, prefix, num_layers):
                 "fc1": _linear(sd, f"{lp}.mlp.fc1"),
                 "fc2": _linear(sd, f"{lp}.mlp.fc2"),
             },
-        }
-    return out
+        })
+
+    def _stack(trees):
+        if isinstance(trees[0], dict):
+            return {k: _stack([t[k] for t in trees]) for k in trees[0]}
+        return np.stack(trees, axis=0)
+
+    return {"layers": {"block": _stack(per_layer)}}
 
 
 def _conv_ohwi(w: np.ndarray) -> np.ndarray:

@@ -131,7 +131,41 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """TransformerBlock adapted to the (carry, out) scan signature."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_dim: int
+    hidden_act: str
+    layer_norm_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array]):
+        x = TransformerBlock(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            hidden_act=self.hidden_act,
+            layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype,
+            name="block",
+        )(x, mask)
+        return x, None
+
+
 class TransformerEncoder(nn.Module):
+    """Stack of pre-LN blocks, compiled ONCE via `nn.scan` over stacked
+    layer parameters ([L, ...] leading axis).
+
+    scan-over-layers is the TPU-native structure: XLA traces/compiles a
+    single block regardless of depth (ViT-H/32-layer compile cost equals a
+    1-layer model's), and the stacked parameter layout is what pipeline/
+    tensor sharding partition specs want. `remat` wraps the block with
+    jax.checkpoint to trade FLOPs for HBM during fine-tuning.
+    """
+
     num_layers: int
     hidden_size: int
     num_heads: int
@@ -143,19 +177,30 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
-        block_cls = TransformerBlock
+        block_cls = _ScanBlock
         if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=())
-        for i in range(self.num_layers):
-            x = block_cls(
-                hidden_size=self.hidden_size,
-                num_heads=self.num_heads,
-                mlp_dim=self.mlp_dim,
-                hidden_act=self.hidden_act,
-                layer_norm_eps=self.layer_norm_eps,
-                dtype=self.dtype,
-                name=f"layers_{i}",
-            )(x, mask)
+            block_cls = nn.remat(
+                _ScanBlock,
+                prevent_cse=False,
+                static_argnums=(),
+            )
+        scanned = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+            in_axes=nn.broadcast,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            hidden_act=self.hidden_act,
+            layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype,
+            name="layers",
+        )
+        x, _ = scanned(x, mask)
         return x
 
 
