@@ -38,13 +38,17 @@ class MultiHeadAttention(nn.Module):
     hidden_size: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # jax.nn.dot_product_attention (XLA flash path) — measured SLOWER than
+    # the plain einsum pair for these short sequences (T<=257) on v5e, so
+    # off by default; flip for long-sequence experiments.
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
         self,
         queries: Array,                 # [B, Tq, D]
         keys_values: Optional[Array] = None,  # [B, Tk, D]; None -> self-attn
-        mask: Optional[Array] = None,   # [Tq, Tk] additive (float) mask
+        mask: Optional[Array] = None,   # [Tq, Tk] additive causal mask
     ) -> Array:
         if keys_values is None:
             keys_values = queries
@@ -64,12 +68,21 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, Tk, H, Dh)
         v = v.reshape(B, Tk, H, Dh)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(Dh).astype(q.dtype)
-        scores = scores.astype(jnp.float32)
-        if mask is not None:
-            scores = scores + mask[None, None, :, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, self.hidden_size)
+        if self.use_fused and mask is None:
+            # XLA fused (flash) attention path — fp32 softmax internally
+            out = jax.nn.dot_product_attention(q, k, v)
+        elif self.use_fused and mask is not None and Tq == Tk:
+            out = jax.nn.dot_product_attention(
+                q, k, v, is_causal=True
+            )
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(Dh).astype(q.dtype)
+            scores = scores.astype(jnp.float32)
+            if mask is not None:
+                scores = scores + mask[None, None, :, :]
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(B, Tq, self.hidden_size)
         return dense("out_proj")(out)
 
 

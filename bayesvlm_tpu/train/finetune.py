@@ -124,9 +124,12 @@ def finetune_projection(
     num_classes: int,
     logger=None,
     seed: int = 0,
+    early_stopping_patience: Optional[int] = None,
 ) -> Tuple[Dict, dict]:
     """AdamW fine-tune of the image projection; returns (best projection,
-    best test metrics). ref:scripts/activelearning.py:76-225."""
+    best test metrics). ref:scripts/activelearning.py:76-225.
+    `early_stopping_patience` stops after that many epochs without val-loss
+    improvement (ref:scripts/activelearning_kmeans.py:367, patience 15)."""
     has_bias = head.source_projection_has_bias
     text_embeds_fixed = _project(
         txt_proj, text_features.activations, jnp.zeros_like(text_features.embeds)
@@ -177,6 +180,7 @@ def finetune_projection(
 
     best_val_loss = float("inf")
     best_proj, best_test_m, best_val_m = img_proj, test_m, val_m
+    epochs_without_improvement = 0
 
     for epoch in range(epochs):
         order = rng.permutation(N)
@@ -196,6 +200,9 @@ def finetune_projection(
         if val_m["loss"] <= best_val_loss:
             best_val_loss = val_m["loss"]
             best_proj, best_test_m, best_val_m = img_proj, test_m, val_m
+            epochs_without_improvement = 0
+        else:
+            epochs_without_improvement += 1
         if logger:
             logger.log({f"train_{k}": v for k, v in train_m.items()}, step=epoch + 1)
             logger.log({f"val_{k}": v for k, v in val_m.items()}, step=epoch + 1)
@@ -206,5 +213,11 @@ def finetune_projection(
             logger.log(
                 {f"best_val_{k}": v for k, v in best_val_m.items()}, step=epoch + 1
             )
+        if (
+            early_stopping_patience is not None
+            and epochs_without_improvement >= early_stopping_patience
+        ):
+            print(f"Early stopping at epoch {epoch + 1}")
+            break
 
     return best_proj, best_test_m

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: CLIP ViT-L/14 probabilistic zero-shot throughput
+(image-tower forward + Smith probabilistic head + probit softmax),
+images/sec/chip on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no perf numbers (BASELINE.md), so the
+baseline is the documented A100 estimate for the reference torch pipeline
+(ViT-L/14 fp16, batched): A100_BASELINE_IMG_S below. The north-star target
+is a v5e-8 slice vs one A100; the workload is embarrassingly data-parallel
+(verified by the sharded-equivalence tests), so vs_baseline =
+value * 8 / A100_BASELINE_IMG_S.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Documented estimate for the torch reference on A100 (see BASELINE.md):
+# HF CLIPVisionModel ViT-L/14 fp16 inference at large batch reaches
+# ~45-55% of A100 peak (312 TFLOP/s fp16) => ~0.16 TFLOP/img at 162 GFLOP
+# per image => ~1000 img/s including the (cheap) covariance head.
+A100_BASELINE_IMG_S = 1000.0
+N_CHIPS_TARGET = 8  # v5e-8 slice; DP-linear workload
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bayesvlm_tpu.models.clip import CLIPVisionTower
+    from bayesvlm_tpu.models.configs import CLIP_L14_CONFIG as cfg
+    from bayesvlm_tpu.probforward.smith import _smith_forward
+
+    module = CLIPVisionTower(cfg.vision, dtype=jnp.bfloat16)
+
+    # host-side random init via eval_shape (skips the on-device init
+    # compile, which dominates startup on this host)
+    rng_np = np.random.default_rng(0)
+    dummy = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), dummy))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            rng_np.normal(0.0, 0.02, s.shape).astype(np.float32), s.dtype
+        ),
+        shapes,
+    )["params"]
+
+    class _Head:
+        logit_scale = jnp.asarray(4.6052, jnp.float32)
+
+    head = _Head()
+
+    B, C = 128, 1000
+    D, P, Pt = (
+        cfg.vision.projection_dim,
+        cfg.vision.hidden_size,
+        cfg.text.hidden_size,
+    )
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(
+        rng.normal(size=(B, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        jnp.bfloat16,
+    )
+    te = jnp.asarray(rng.normal(size=(C, D)), jnp.float32)
+    ta = jnp.asarray(rng.normal(size=(C, Pt)), jnp.float32)
+    sA = jnp.eye(P) * 1e-3
+    sB = jnp.full((D,), 1e-3)
+    tA = jnp.eye(Pt) * 1e-3
+    tB = jnp.full((D,), 1e-3)
+    scale = head.logit_scale
+
+    @jax.jit
+    def step(params, pixels):
+        e, a = module.apply({"params": params}, pixels)
+        m, v = _smith_forward(
+            e, a, te, ta, sA, sB, tA, tB, scale, False, False
+        )
+        return jax.nn.softmax(m / jnp.sqrt(1.0 + jnp.pi / 8 * v), axis=-1)
+
+    # warmup / compile
+    step(params, pixels).block_until_ready()
+
+    best = 0.0
+    for _ in range(3):
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(params, pixels)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        best = max(best, B * n / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "clip_vitl14_probabilistic_zeroshot_throughput",
+                "value": round(best, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(best * N_CHIPS_TARGET / A100_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
