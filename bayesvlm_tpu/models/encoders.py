@@ -186,24 +186,44 @@ def load_model(
     vision, text = _make_towers(config, dtype, remat)
 
     if weights_dir is not None:
-        from bayesvlm_tpu.models.convert import (
-            _load_state_dict,
-            convert_from_snapshot,
-            load_logit_scale_bias,
-        )
-
         wd = Path(weights_dir)
-        vparams = jax.tree_util.tree_map(
-            jnp.asarray,
-            convert_from_snapshot(wd, config.family, "vision", config.vision.num_layers),
-        )
-        tparams = jax.tree_util.tree_map(
-            jnp.asarray,
-            convert_from_snapshot(wd, config.family, "text", config.text.num_layers),
-        )
-        scale, bias = load_logit_scale_bias(_load_state_dict(wd))
-        if scale is None:
-            scale = DEFAULT_LOGIT_SCALE[config.family]
+        if (wd / "vision.msgpack").exists():
+            # pre-converted cache written by scripts/convert_weights.py
+            import json as _json
+
+            from flax import serialization
+
+            vparams = jax.tree_util.tree_map(
+                jnp.asarray,
+                serialization.msgpack_restore((wd / "vision.msgpack").read_bytes()),
+            )
+            tparams = jax.tree_util.tree_map(
+                jnp.asarray,
+                serialization.msgpack_restore((wd / "text.msgpack").read_bytes()),
+            )
+            head_info = _json.loads((wd / "head.json").read_text())
+            scale = head_info.get("logit_scale")
+            bias = head_info.get("logit_bias", 0.0)
+            if scale is None:
+                scale = DEFAULT_LOGIT_SCALE[config.family]
+        else:
+            from bayesvlm_tpu.models.convert import (
+                _load_state_dict,
+                convert_from_snapshot,
+                load_logit_scale_bias,
+            )
+
+            vparams = jax.tree_util.tree_map(
+                jnp.asarray,
+                convert_from_snapshot(wd, config.family, "vision", config.vision.num_layers),
+            )
+            tparams = jax.tree_util.tree_map(
+                jnp.asarray,
+                convert_from_snapshot(wd, config.family, "text", config.text.num_layers),
+            )
+            scale, bias = load_logit_scale_bias(_load_state_dict(wd))
+            if scale is None:
+                scale = DEFAULT_LOGIT_SCALE[config.family]
     else:
         vparams, tparams = init_params(config, seed=seed, dtype=dtype)
         scale = DEFAULT_LOGIT_SCALE[config.family]
