@@ -1,0 +1,143 @@
+"""ctypes bindings for the native input-pipeline runtime (native/bvt_io.cc).
+
+Provides, when `native/libbvt_io.so` is built (`make -C native`):
+  - `tar_index(path)`: single-pass tar member index (name, offset, size)
+  - `read_member(path, offset, size)`: pread of one member
+  - `decode_batch(jpegs, size, ...)`: multithreaded JPEG decode + resize +
+    center-crop + normalize straight into a float32 NHWC batch
+
+The pure-Python PIL path remains the default (bicubic parity with the
+reference); the native path uses bilinear resampling and is the fast lane
+for throughput-bound ingestion. `available()` gates usage.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libbvt_io.so"
+_lib = None
+
+
+class _TarEntry(ctypes.Structure):
+    _fields_ = [
+        ("name", ctypes.c_char * 256),
+        ("offset", ctypes.c_uint64),
+        ("size", ctypes.c_uint64),
+    ]
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.bvt_tar_index.restype = ctypes.c_long
+    lib.bvt_tar_index.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(_TarEntry))
+    ]
+    lib.bvt_free_index.argtypes = [ctypes.POINTER(_TarEntry)]
+    lib.bvt_pread.restype = ctypes.c_int
+    lib.bvt_pread.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.bvt_decode_batch.restype = ctypes.c_int
+    lib.bvt_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the shared library in-tree. Returns success."""
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=quiet,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def tar_index(path) -> List[Tuple[str, int, int]]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run make -C native)")
+    out = ctypes.POINTER(_TarEntry)()
+    n = lib.bvt_tar_index(str(path).encode(), ctypes.byref(out))
+    if n < 0:
+        raise IOError(f"cannot index tar {path}")
+    try:
+        return [
+            (out[i].name.decode(), int(out[i].offset), int(out[i].size))
+            for i in range(n)
+        ]
+    finally:
+        lib.bvt_free_index(out)
+
+
+def read_member(path, offset: int, size: int) -> bytes:
+    lib = _load()
+    buf = (ctypes.c_uint8 * size)()
+    rc = lib.bvt_pread(str(path).encode(), offset, size, buf)
+    if rc != 0:
+        raise IOError(f"pread failed ({rc}) on {path}")
+    return bytes(buf)
+
+
+def decode_batch(
+    jpegs: Sequence[bytes],
+    size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    square_resize: bool = False,
+    num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a batch of JPEG byte strings -> ([n, size, size, 3] f32
+    normalized NHWC, [n] int32 status; nonzero = decode failure)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run make -C native)")
+    n = len(jpegs)
+    arrs = [np.frombuffer(j, np.uint8) for j in jpegs]
+    ptrs = (ctypes.c_char_p * n)(
+        *[a.ctypes.data_as(ctypes.c_char_p) for a in arrs]
+    )
+    lens = (ctypes.c_uint64 * n)(*[len(j) for j in jpegs])
+    out = np.empty((n, size, size, 3), np.float32)
+    status = np.zeros(n, np.int32)
+    mean_arr = (ctypes.c_float * 3)(*[float(m) for m in mean])
+    std_arr = (ctypes.c_float * 3)(*[float(s) for s in std])
+    lib.bvt_decode_batch(
+        ptrs, lens, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, int(square_resize), mean_arr, std_arr,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return out, status

@@ -40,6 +40,36 @@ def _decode_member(name: str, data: bytes):
     return data
 
 
+def iterate_tar_samples_native(tar_path) -> Iterator[Dict]:
+    """Native-indexed variant of iterate_tar_samples: one C pass builds the
+    member index, then members are pread directly (no per-header Python).
+    Same output contract."""
+    from bayesvlm_tpu.data import native_io
+
+    entries = native_io.tar_index(tar_path)
+    current_key = None
+    sample: Dict = {}
+    for name, offset, size in entries:
+        base = Path(name).name
+        if "." not in base:
+            continue
+        key, ext = base.split(".", 1)
+        if current_key is not None and key != current_key:
+            if sample:
+                sample["__key__"] = current_key
+                yield sample
+            sample = {}
+        current_key = key
+        try:
+            data = native_io.read_member(tar_path, offset, size)
+            sample[ext] = _decode_member(base, data)
+        except Exception as e:  # warn_and_continue
+            warnings.warn(f"skipping corrupt member {name}: {e}")
+    if sample and current_key is not None:
+        sample["__key__"] = current_key
+        yield sample
+
+
 def iterate_tar_samples(tar_path) -> Iterator[Dict]:
     """Yield {__key__, ext: bytes/obj} groups from one tar shard."""
     with tarfile.open(tar_path, "r") as tf:
@@ -77,21 +107,33 @@ class WebDataset:
         shuffle_buffer: int = 0,
         seed: int = 0,
         map_fn: Optional[Callable] = None,
+        use_native: Optional[bool] = None,
     ):
         self.tar_paths = [str(p) for p in tar_paths]
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
         self.map_fn = map_fn
+        if use_native is None:
+            try:
+                from bayesvlm_tpu.data import native_io
+
+                use_native = native_io.available()
+            except Exception:
+                use_native = False
+        self.use_native = use_native
 
     def shard_slice(self, host_id: int, num_hosts: int) -> "WebDataset":
         """Deterministic per-host tar assignment (canonical sorted order)."""
         shards = sorted(self.tar_paths)[host_id::num_hosts]
-        return WebDataset(shards, self.shuffle_buffer, self.seed, self.map_fn)
+        return WebDataset(
+            shards, self.shuffle_buffer, self.seed, self.map_fn, self.use_native
+        )
 
     def _raw_iter(self) -> Iterator[Dict]:
+        iter_fn = iterate_tar_samples_native if self.use_native else iterate_tar_samples
         for tar in self.tar_paths:
             try:
-                yield from iterate_tar_samples(tar)
+                yield from iter_fn(tar)
             except Exception as e:  # corrupt shard: skip entirely
                 warnings.warn(f"skipping corrupt shard {tar}: {e}")
 

@@ -1,0 +1,271 @@
+// bvt_io — native input-pipeline runtime for bayesvlm-tpu.
+//
+// The TPU compute path is JAX/XLA; this library accelerates the host side
+// that feeds it (the reference leans on torch DataLoader worker processes;
+// this image has one vCPU, so cheap C threads + no Python in the decode
+// loop matter):
+//
+//   * tar shard indexing: one pass over a webdataset tar, returning
+//     (name, offset, size) records so samples can be read with pread
+//     without re-walking headers (used by bayesvlm_tpu.data.wds).
+//   * batched JPEG decode + resize + center-crop + normalize straight
+//     into a caller-provided float32 NHWC buffer, multithreaded with
+//     pthreads; one memcpy-free pass from file bytes to model input.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <pthread.h>
+#include <setjmp.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include <algorithm>
+#include <cmath>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// tar indexing
+// ---------------------------------------------------------------------
+
+struct BvtTarEntry {
+  char name[256];
+  uint64_t offset;  // offset of file DATA (after the 512-byte header)
+  uint64_t size;
+};
+
+static uint64_t parse_octal(const char* p, size_t n) {
+  uint64_t v = 0;
+  for (size_t i = 0; i < n && p[i]; ++i) {
+    if (p[i] < '0' || p[i] > '7') continue;
+    v = v * 8 + (uint64_t)(p[i] - '0');
+  }
+  return v;
+}
+
+// Index a tar file. Returns number of entries, fills *out with a
+// malloc'ed array the caller frees via bvt_free_index. Returns -1 on error.
+long bvt_tar_index(const char* path, BvtTarEntry** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<BvtTarEntry> entries;
+  unsigned char hdr[512];
+  uint64_t pos = 0;
+  while (fread(hdr, 1, 512, f) == 512) {
+    pos += 512;
+    if (hdr[0] == 0) break;  // end-of-archive blocks
+    uint64_t size = parse_octal((const char*)hdr + 124, 12);
+    char typeflag = hdr[156];
+    if (typeflag == '0' || typeflag == 0) {  // regular file
+      BvtTarEntry e;
+      memset(&e, 0, sizeof(e));
+      // POSIX ustar: prefix (345, 155 bytes) + name (0, 100 bytes)
+      char name[256] = {0};
+      if (hdr[345]) {
+        size_t pl = strnlen((const char*)hdr + 345, 155);
+        memcpy(name, hdr + 345, pl);
+        name[pl] = '/';
+        strncat(name, (const char*)hdr, 100);
+      } else {
+        memcpy(name, hdr, 100);
+      }
+      strncpy(e.name, name, 255);
+      e.offset = pos;
+      e.size = size;
+      entries.push_back(e);
+    }
+    uint64_t padded = (size + 511) & ~511ULL;
+    if (fseek(f, (long)padded, SEEK_CUR) != 0) break;
+    pos += padded;
+  }
+  fclose(f);
+  BvtTarEntry* arr = (BvtTarEntry*)malloc(entries.size() * sizeof(BvtTarEntry));
+  memcpy(arr, entries.data(), entries.size() * sizeof(BvtTarEntry));
+  *out = arr;
+  return (long)entries.size();
+}
+
+void bvt_free_index(BvtTarEntry* arr) { free(arr); }
+
+// Read `size` bytes at `offset` from path into buf (caller-allocated).
+int bvt_pread(const char* path, uint64_t offset, uint64_t size, uint8_t* buf) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (fseek(f, (long)offset, SEEK_SET) != 0) {
+    fclose(f);
+    return -2;
+  }
+  size_t got = fread(buf, 1, size, f);
+  fclose(f);
+  return got == size ? 0 : -3;
+}
+
+// ---------------------------------------------------------------------
+// JPEG decode + resize + crop + normalize
+// ---------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = (JpegErr*)cinfo->err;
+  longjmp(err->jb, 1);
+}
+
+// Decode one JPEG into an RGB buffer (malloc'ed). Returns 0 on success.
+static int decode_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
+                      int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  rgb->resize((size_t)(*w) * (*h) * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = rgb->data() + (size_t)cinfo.output_scanline * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Bilinear sample at (x, y) in source RGB image.
+static inline void bilinear(const uint8_t* src, int sw, int sh, float x,
+                            float y, float* out3) {
+  x = std::max(0.0f, std::min(x, (float)sw - 1.001f));
+  y = std::max(0.0f, std::min(y, (float)sh - 1.001f));
+  int x0 = (int)x, y0 = (int)y;
+  float fx = x - x0, fy = y - y0;
+  const uint8_t* p00 = src + ((size_t)y0 * sw + x0) * 3;
+  const uint8_t* p01 = p00 + 3;
+  const uint8_t* p10 = p00 + (size_t)sw * 3;
+  const uint8_t* p11 = p10 + 3;
+  for (int c = 0; c < 3; ++c) {
+    float a = p00[c] + (p01[c] - p00[c]) * fx;
+    float b = p10[c] + (p11[c] - p10[c]) * fx;
+    out3[c] = a + (b - a) * fy;
+  }
+}
+
+struct DecodeTask {
+  const uint8_t* const* datas;
+  const uint64_t* lens;
+  float* out;       // [n, size, size, 3]
+  int n;
+  int size;
+  int square_resize;  // 1 = SigLIP square resize; 0 = shorter-side + crop
+  const float* mean;  // [3]
+  const float* stdv;  // [3]
+  int* status;        // per-image 0/err
+  int next;           // shared work index
+  pthread_mutex_t mu;
+};
+
+static void process_one(DecodeTask* t, int i) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (decode_rgb(t->datas[i], t->lens[i], &rgb, &w, &h) != 0) {
+    t->status[i] = -1;
+    memset(t->out + (size_t)i * t->size * t->size * 3, 0,
+           sizeof(float) * t->size * t->size * 3);
+    return;
+  }
+  int S = t->size;
+  float* dst = t->out + (size_t)i * S * S * 3;
+  float px[3];
+  if (t->square_resize) {
+    for (int yy = 0; yy < S; ++yy) {
+      for (int xx = 0; xx < S; ++xx) {
+        float sx = (xx + 0.5f) * w / S - 0.5f;
+        float sy = (yy + 0.5f) * h / S - 0.5f;
+        bilinear(rgb.data(), w, h, sx, sy, px);
+        float* o = dst + ((size_t)yy * S + xx) * 3;
+        for (int c = 0; c < 3; ++c)
+          o[c] = (px[c] / 255.0f - t->mean[c]) / t->stdv[c];
+      }
+    }
+  } else {
+    // shorter-side resize to S, center crop S x S
+    float scale = (w <= h) ? (float)w / S : (float)h / S;
+    float rw = w / scale, rh = h / scale;
+    float ox = (rw - S) * 0.5f, oy = (rh - S) * 0.5f;
+    for (int yy = 0; yy < S; ++yy) {
+      for (int xx = 0; xx < S; ++xx) {
+        float sx = (xx + ox + 0.5f) * scale - 0.5f;
+        float sy = (yy + oy + 0.5f) * scale - 0.5f;
+        bilinear(rgb.data(), w, h, sx, sy, px);
+        float* o = dst + ((size_t)yy * S + xx) * 3;
+        for (int c = 0; c < 3; ++c)
+          o[c] = (px[c] / 255.0f - t->mean[c]) / t->stdv[c];
+      }
+    }
+  }
+  t->status[i] = 0;
+}
+
+static void* worker(void* arg) {
+  DecodeTask* t = (DecodeTask*)arg;
+  for (;;) {
+    pthread_mutex_lock(&t->mu);
+    int i = t->next++;
+    pthread_mutex_unlock(&t->mu);
+    if (i >= t->n) return nullptr;
+    process_one(t, i);
+  }
+}
+
+// Decode a batch of JPEGs into out [n, size, size, 3] float32 NHWC with
+// normalization; returns count of successfully decoded images.
+int bvt_decode_batch(const uint8_t* const* datas, const uint64_t* lens, int n,
+                     float* out, int size, int square_resize,
+                     const float* mean, const float* stdv, int* status,
+                     int num_threads) {
+  DecodeTask t;
+  t.datas = datas;
+  t.lens = lens;
+  t.out = out;
+  t.n = n;
+  t.size = size;
+  t.square_resize = square_resize;
+  t.mean = mean;
+  t.stdv = stdv;
+  t.status = status;
+  t.next = 0;
+  pthread_mutex_init(&t.mu, nullptr);
+
+  int nt = std::max(1, std::min(num_threads, n));
+  std::vector<pthread_t> threads((size_t)nt);
+  for (int i = 0; i < nt; ++i) pthread_create(&threads[i], nullptr, worker, &t);
+  for (int i = 0; i < nt; ++i) pthread_join(threads[i], nullptr);
+  pthread_mutex_destroy(&t.mu);
+
+  int ok = 0;
+  for (int i = 0; i < n; ++i) ok += (status[i] == 0);
+  return ok;
+}
+
+}  // extern "C"
