@@ -122,16 +122,17 @@ class DataModule:
         return [records[int(i)] for i in self.subset_indices]
 
     def _apply_few_shot(self, records):
-        """Per-class few-shot subsampling (ref:bayesvlm/data/food101.py:43-57)."""
+        """Per-class few-shot subsampling. Preserves the reference's RNG
+        quirk: `np.random.seed` is reset before EVERY class draw
+        (ref:bayesvlm/data/food101.py:43-57, eurosat.py:53-56), so two
+        classes with the same cardinality pick the same positions."""
         if not self.use_few_shot:
             return records
-        rng = np.random.default_rng(self.few_shot_sample_seed)
         by_class = {}
-        for rec in records:
-            by_class.setdefault(rec[1], []).append(rec)
+        for i, rec in enumerate(records):
+            by_class.setdefault(rec[1], []).append(i)
         out = []
-        for c in sorted(by_class):
-            recs = by_class[c]
-            idx = rng.permutation(len(recs))[: self.shots_per_class]
-            out.extend(recs[int(i)] for i in idx)
-        return out
+        for c in by_class.values():
+            np.random.seed(self.few_shot_sample_seed)
+            out.extend(np.random.choice(c, self.shots_per_class, replace=False))
+        return [records[int(i)] for i in out]

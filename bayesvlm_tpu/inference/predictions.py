@@ -63,3 +63,49 @@ def make_predictions(
         save_pt_array(var, var_path)
 
     return ProbabilisticLogits(mean=jnp.asarray(mean), var=jnp.asarray(var))
+
+
+def make_predictions_sharded(
+    head: ProbabilisticHead,
+    image_outputs: EncoderResult,
+    text_outputs: EncoderResult,
+    mesh,
+    axis: str = "data",
+) -> ProbabilisticLogits:
+    """SPMD probabilistic predictions: batch-shard the image features over
+    the mesh's data axis (text replicated); XLA runs the Smith forward on
+    every chip in parallel with zero collectives (output stays sharded
+    until gathered). No reference counterpart (single-device upstream)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    N = len(image_outputs)
+    pad = (-N) % n_dev
+
+    def _prep(x):
+        x = np.asarray(x)
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        return jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+
+    import jax
+
+    embeds = _prep(image_outputs.embeds)
+    acts = _prep(image_outputs.activations)
+    rep = NamedSharding(mesh, P())
+    t_embeds = jax.device_put(np.asarray(text_outputs.embeds), rep)
+    t_acts = jax.device_put(np.asarray(text_outputs.activations), rep)
+
+    from bayesvlm_tpu.probforward.smith import _smith_forward
+
+    mean, var = _smith_forward(
+        embeds, acts, t_embeds, t_acts,
+        head.source_covariance.A_inv,
+        jnp.diagonal(head.source_covariance.B_inv),
+        head.target_covariance.A_inv,
+        jnp.diagonal(head.target_covariance.B_inv),
+        head.logit_scale,
+        head.source_projection_has_bias,
+        head.target_projection_has_bias,
+    )
+    return ProbabilisticLogits(mean=mean[:N], var=var[:N])

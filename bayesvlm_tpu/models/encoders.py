@@ -82,15 +82,34 @@ class _EncoderBase:
         )
 
     def save_projection_weights(self, path):
-        """Serialize the projection params (torch-compatible .pt dict)."""
+        """Serialize the projection params (torch-compatible .pt;
+        ref:bayesvlm/vlm.py:236-253 save/load contract). The kernel is
+        stored transposed to the torch [out, in] convention."""
         from bayesvlm_tpu.io.torch_compat import save_pt_array
 
         tree = jax.tree_util.tree_map(np.asarray, self.projection_tree())
-        # store kernel transposed back to torch [out, in] convention
         if "kernel" in tree:
             save_pt_array(np.ascontiguousarray(tree["kernel"].T), path)
         else:
             save_pt_array(tree, path)
+
+    def load_projection_weights(self, path) -> "_EncoderBase":
+        """Load a projection checkpoint (.pt written by us or by the
+        reference's torch `state_dict` save) and return an updated
+        encoder."""
+        from bayesvlm_tpu.io.torch_compat import load_pt_array
+
+        loaded = load_pt_array(path)
+        proj = dict(self.projection_tree())
+        if isinstance(loaded, dict):
+            # torch state_dict: {'weight': [out,in], 'bias': [out]}
+            if "weight" in loaded:
+                proj["kernel"] = jnp.asarray(np.ascontiguousarray(loaded["weight"].T))
+            if "bias" in loaded and "bias" in proj:
+                proj["bias"] = jnp.asarray(loaded["bias"])
+        else:
+            proj["kernel"] = jnp.asarray(np.ascontiguousarray(np.asarray(loaded).T))
+        return self.with_projection(proj)
 
 
 @dataclasses.dataclass

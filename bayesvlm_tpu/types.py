@@ -149,6 +149,18 @@ class ProbabilisticLogits:
         """num_samples=0 path of ref:bayesvlm/vlm.py:74-78."""
         return jax.nn.softmax(probit_scaled_mean(self.mean, self.var), axis=axis)
 
+    @property
+    def probs(self) -> Array:
+        """Probit-approximated probabilities (ELG-variant API,
+        ref:bayesvlm/vlm_elg.py:74-85)."""
+        return self.probit_softmax()
+
+    @property
+    def log_probs(self) -> Array:
+        """log-softmax of the probit-scaled mean
+        (ref:bayesvlm/vlm_elg.py:205-207)."""
+        return jax.nn.log_softmax(probit_scaled_mean(self.mean, self.var), axis=-1)
+
     def _sample_logits(self, key: Array, num_samples: int) -> Array:
         """[S, N, C] Gaussian samples of the logits."""
         if self.var.ndim == self.mean.ndim:  # diagonal
@@ -157,8 +169,18 @@ class ProbabilisticLogits:
                 key, (num_samples,) + self.mean.shape, dtype=self.mean.dtype
             )
             return self.mean[None] + eps * std[None]
-        # full covariance [N, C, C]: sample via cholesky factor
+        # full covariance [N, C, C]: sample via cholesky factor, with a
+        # static jitter fallback for near-singular covariances (the
+        # reference retries MVN construction with growing jitter,
+        # ref:bayesvlm/vlm_elg.py:113-119)
         chol = jnp.linalg.cholesky(self.var)
+        C = self.var.shape[-1]
+        jitter = 1e-6 * jnp.maximum(
+            jnp.trace(self.var, axis1=-2, axis2=-1) / C, 1.0
+        )[..., None, None]
+        chol_j = jnp.linalg.cholesky(self.var + jitter * jnp.eye(C, dtype=self.var.dtype))
+        bad = jnp.any(jnp.isnan(chol), axis=(-2, -1), keepdims=True)
+        chol = jnp.where(bad, chol_j, chol)
         eps = jax.random.normal(
             key, (num_samples,) + self.mean.shape, dtype=self.mean.dtype
         )

@@ -79,26 +79,31 @@ def main():
     tB = jnp.full((D,), 1e-3)
     scale = head.logit_scale
 
-    @jax.jit
-    def step(params, pixels):
-        e, a = module.apply({"params": params}, pixels)
-        m, v = _smith_forward(
-            e, a, te, ta, sA, sB, tA, tB, scale, False, False
-        )
-        return jax.nn.softmax(m / jnp.sqrt(1.0 + jnp.pi / 8 * v), axis=-1)
+    N_ITER = 10
 
-    # warmup / compile
-    step(params, pixels).block_until_ready()
+    @jax.jit
+    def loop(params, pixels):
+        # in-graph serialized loop: each iteration's input depends on the
+        # previous result, so the device timing cannot be skewed by host
+        # async-dispatch artifacts (observed on tunneled backends).
+        def body(i, carry):
+            x = pixels + (carry * 1e-20).astype(pixels.dtype)
+            e, a = module.apply({"params": params}, x)
+            m, v = _smith_forward(
+                e, a, te, ta, sA, sB, tA, tB, scale, False, False
+            )
+            probs = jax.nn.softmax(m / jnp.sqrt(1.0 + jnp.pi / 8 * v), axis=-1)
+            return jnp.sum(probs[0]).astype(jnp.float32)
+        return jax.lax.fori_loop(0, N_ITER, body, jnp.float32(0.0))
+
+    float(loop(params, pixels))  # compile + warmup (host fetch = hard sync)
 
     best = 0.0
     for _ in range(3):
-        n = 10
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = step(params, pixels)
-        out.block_until_ready()
+        float(loop(params, pixels))
         dt = time.perf_counter() - t0
-        best = max(best, B * n / dt)
+        best = max(best, B * N_ITER / dt)
 
     print(
         json.dumps(
