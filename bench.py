@@ -29,6 +29,53 @@ A100_BASELINE_IMG_S = 1000.0
 N_CHIPS_TARGET = 8  # v5e-8 slice; DP-linear workload
 
 
+def bench_hessian():
+    """Secondary metric: K-FAC GGN accumulation pairs/sec (ViT-B/32 shapes).
+    Reference baseline is the analytic estimate in BASELINE.md (~1k
+    pairs/sec A100); see `--metric hessian`."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bayesvlm_tpu.bayes.hessians import activation_gram, hessian_infonce
+
+    rng = np.random.default_rng(0)
+    C, D, P = 32768, 512, 768
+    src = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32))
+    act = jnp.asarray(rng.normal(size=(C, P)).astype(np.float32))
+    scale = jnp.float32(4.6052)
+
+    def class_batch():
+        H = hessian_infonce(src, tgt, scale, block_size=2048)
+        A = activation_gram(act)
+        return float(H[0, 0]) + float(A[0, 0])
+
+    class_batch()  # compile
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        class_batch()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    rate = C / best
+    print(
+        json.dumps(
+            {
+                "metric": "kfac_ggn_infonce_throughput",
+                "value": round(rate, 0),
+                "unit": "pairs/sec",
+                "vs_baseline": round(rate * 8 / 1000.0, 1),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -118,4 +165,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--metric" in sys.argv and "hessian" in sys.argv:
+        bench_hessian()
+    else:
+        main()
