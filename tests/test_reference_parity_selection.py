@@ -1,0 +1,144 @@
+"""Head-to-head parity with the reference selection layer (torch, CPU):
+EPIG-from-probs, kNN retrieval structures, wdist2, and top-k selection."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+if not REFERENCE.exists():
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, str(REFERENCE))
+
+try:
+    from bayesvlm.epig import (
+        epig_from_probs_using_matmul as ref_epig_probs,
+        entropy_from_probs as ref_entropy_probs,
+    )
+    from bayesvlm.knn import (
+        find_similar_samples_cosine as ref_knn_cosine,
+        wdist2 as ref_wdist2,
+        extract_test_train_indices as ref_extract,
+    )
+    from bayesvlm.hessians import KroneckerFactorizedCovariance as RefCov
+    from bayesvlm.vlm import EncoderResult as RefER, ProbabilisticLogits as RefPL
+    from bayesvlm.selection import select_topk as ref_select_topk
+except Exception as e:  # pragma: no cover
+    pytest.skip(f"reference import failed: {e}", allow_module_level=True)
+
+import jax.numpy as jnp
+
+from bayesvlm_tpu.bayes.kfac import KroneckerFactorizedCovariance
+from bayesvlm_tpu.select import (
+    epig_from_probs_using_matmul,
+    entropy_from_probs,
+    extract_test_train_indices,
+    find_similar_samples_cosine,
+    select_topk,
+    wdist2,
+)
+from bayesvlm_tpu.types import EncoderResult, ProbabilisticLogits
+
+
+def test_epig_from_probs_parity():
+    rng = np.random.default_rng(0)
+    N_p, N_t, K, C = 12, 7, 16, 5
+    pool = rng.dirichlet(np.ones(C), size=(N_p, K)).astype(np.float32)
+    targ = rng.dirichlet(np.ones(C), size=(N_t, K)).astype(np.float32)
+    ref = ref_epig_probs(torch.tensor(pool), torch.tensor(targ)).numpy()
+    ours = np.asarray(epig_from_probs_using_matmul(jnp.asarray(pool), jnp.asarray(targ)))
+    # ours contracts in bf16 (TPU-native); tolerance reflects that
+    np.testing.assert_allclose(ours, ref, rtol=0.05, atol=5e-3)
+
+
+def test_entropy_from_probs_parity():
+    rng = np.random.default_rng(1)
+    p = rng.dirichlet(np.ones(6), size=9).astype(np.float32)
+    p[0, :] = 0.0
+    p[0, 2] = 1.0
+    ref = ref_entropy_probs(torch.tensor(p)).numpy()
+    ours = np.asarray(entropy_from_probs(jnp.asarray(p)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_wdist2_parity():
+    rng = np.random.default_rng(2)
+    mu1 = rng.normal(size=(5, 7)).astype(np.float32)
+    mu2 = rng.normal(size=(6, 7)).astype(np.float32)
+    c1 = rng.uniform(0.1, 1, size=(5, 7)).astype(np.float32)
+    c2 = rng.uniform(0.1, 1, size=(6, 7)).astype(np.float32)
+    ref = ref_wdist2(
+        torch.tensor(mu1), torch.tensor(mu2), torch.tensor(c1), torch.tensor(c2)
+    ).numpy()
+    ours = np.asarray(wdist2(mu1, mu2, c1, c2))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_select_topk_parity():
+    # the reference's 'var' complexity takes a matrix diagonal, i.e. it
+    # expects FULL covariance [N, C, C] (ref:bayesvlm/selection.py:34-35)
+    rng = np.random.default_rng(3)
+    mean = rng.normal(size=(40, 6)).astype(np.float32)
+    diag = rng.uniform(0.1, 2, size=(40, 6)).astype(np.float32)
+    var = np.einsum("nc,cd->ncd", diag, np.eye(6, dtype=np.float32))
+    ref_idx = ref_select_topk(
+        RefPL(mean=torch.tensor(mean), var=torch.tensor(var)),
+        k=7, variant="var",
+    ).numpy()
+    our_idx = np.asarray(select_topk(
+        ProbabilisticLogits(jnp.asarray(mean), jnp.asarray(var)), 7, variant="var"
+    ))
+    np.testing.assert_array_equal(np.sort(our_idx), np.sort(ref_idx))
+    # scores are distinct with overwhelming probability -> exact order match
+    np.testing.assert_array_equal(our_idx, ref_idx)
+
+
+def test_knn_cosine_full_structure_parity():
+    """The whole retrieval structure (grow-k' dedup + trim) must agree with
+    the reference: same keys, same kept train indices per test sample."""
+    rng = np.random.default_rng(4)
+    N_tr, N_te, D, P = 30, 12, 8, 6
+    train_e = rng.normal(size=(N_tr, D)).astype(np.float32)
+    train_a = rng.normal(size=(N_tr, P)).astype(np.float32)
+    test_e = rng.normal(size=(N_te, D)).astype(np.float32)
+    test_a = rng.normal(size=(N_te, P)).astype(np.float32)
+    M = rng.normal(size=(P, P)).astype(np.float32)
+    A_inv = M @ M.T / P + np.eye(P, dtype=np.float32)
+    M2 = rng.normal(size=(D, D)).astype(np.float32)
+    B_inv = M2 @ M2.T / D + np.eye(D, dtype=np.float32)
+
+    idx_test = np.array([1, 4, 9])
+    vals_test = np.array([0.3, 0.9, 0.1], np.float32)
+
+    ref_out = ref_knn_cosine(
+        RefER(torch.tensor(train_e), torch.tensor(train_a)),
+        RefER(torch.tensor(test_e), torch.tensor(test_a)),
+        torch.tensor(idx_test), torch.tensor(vals_test),
+        k_nearest=2,
+        source_covariance=RefCov(torch.tensor(A_inv), torch.tensor(B_inv)),
+        device="cpu", buffersize=10,
+    )
+    our_out = find_similar_samples_cosine(
+        EncoderResult.create(jnp.asarray(train_e), jnp.asarray(train_a)),
+        EncoderResult.create(jnp.asarray(test_e), jnp.asarray(test_a)),
+        idx_test, vals_test, k_nearest=2,
+        source_covariance=KroneckerFactorizedCovariance(
+            jnp.asarray(A_inv), jnp.asarray(B_inv)
+        ),
+        buffersize=10,
+    )
+    assert list(our_out.keys()) == [int(k) for k in ref_out.keys()]
+    for k in our_out:
+        assert our_out[k]["indices"] == [int(x) for x in ref_out[k]["indices"]]
+        np.testing.assert_allclose(
+            our_out[k]["similarities"], ref_out[k]["similarities"], rtol=1e-3,
+            atol=1e-4,
+        )
+    assert extract_test_train_indices(our_out)["test"] == ref_extract(ref_out)["test"]
+    assert sorted(extract_test_train_indices(our_out)["train"]) == sorted(
+        ref_extract(ref_out)["train"]
+    )
