@@ -107,7 +107,9 @@ def main():
 
     head = _Head()
 
-    B, C = 128, 1000
+    # B=64 is the per-chip throughput sweet spot on v5 lite (measured
+    # sweep in BASELINE.md: 726 img/s at B=32/64 vs 666 at B=128)
+    B, C = 64, 1000
     D, P, Pt = (
         cfg.vision.projection_dim,
         cfg.vision.hidden_size,
