@@ -1,0 +1,65 @@
+"""Multi-host initialization and per-host input sharding glue.
+
+Single entry point for scaling the same scripts from one chip to a
+multi-host slice (ICI) or multiple slices (DCN):
+
+    from bayesvlm_tpu.dist.init import initialize_distributed
+    ctx = initialize_distributed()          # no-op on single host
+    mesh = ctx.mesh                          # all global devices on 'data'
+    dm.shard_for_host(ctx.host_id, ctx.num_hosts)   # webdataset tar split
+
+The reference has no distributed machinery at all (SURVEY §2.7); this is
+the TPU-native scaling layer. Collective layout: K-FAC partial sums psum
+over the full 'data' axis — XLA routes intra-slice segments over ICI and
+inter-slice over DCN automatically for a 1-D mesh ordered host-major.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+
+from bayesvlm_tpu.dist.mesh import make_mesh
+
+
+@dataclasses.dataclass
+class DistContext:
+    mesh: object
+    host_id: int
+    num_hosts: int
+    num_devices: int
+
+    @property
+    def is_primary(self) -> bool:
+        return self.host_id == 0
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> DistContext:
+    """Initialize jax.distributed when multi-host env vars / args are
+    present; always returns a DistContext with the global data mesh."""
+    want_init = (
+        coordinator_address is not None
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if want_init and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address
+            or os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return DistContext(
+        mesh=make_mesh(),
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+        num_devices=len(jax.devices()),
+    )

@@ -11,7 +11,7 @@ random_on_train_{0..4}.
 """
 
 import argparse
-import copy
+
 import json
 import sys
 from collections import OrderedDict
@@ -76,92 +76,24 @@ def main(
 ):
     import jax.numpy as jnp
 
-    from bayesvlm_tpu.bayes.kfac import compute_covariances
-    from bayesvlm_tpu.bayes.prior import optimize_prior_precision
-    from bayesvlm_tpu.data.factory import DataModuleFactory
-    from bayesvlm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
-    from bayesvlm_tpu.data.transforms import get_transform
-    from bayesvlm_tpu.inference.precompute import (
-        precompute_image_features,
-        precompute_text_features,
-    )
     from bayesvlm_tpu.inference.predictions import make_predictions
-    from bayesvlm_tpu.io.artifacts import load_hessians
-    from bayesvlm_tpu.io.torch_compat import save_pt_array
-    from bayesvlm_tpu.models import load_model
-    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
     from bayesvlm_tpu.select.epig import select_epig_online
-    from bayesvlm_tpu.select.knn import extract_test_train_indices
     from bayesvlm_tpu.select.scores import select_random, select_topk
-    from bayesvlm_tpu.train.finetune import finetune_projection
-    from bayesvlm_tpu.train.logging import ExperimentLogger
-    from bayesvlm_tpu.utils import get_image_size
+    from bayesvlm_tpu.train.al_common import finetune_all_subsets, setup_context
 
-    run_dir = Path(experiment_dir) / dataset
-    run_dir.mkdir(parents=True, exist_ok=True)
-
-    config = CONFIGS_BY_NAME[model_str]
-    transform = get_transform(config.family, get_image_size(model_str))
-
-    dm = DataModuleFactory(
-        batch_size=precompute_batch_size,
-        num_workers=precompute_num_workers,
-        shuffle_train=False,
-        train_transform=transform,
-        test_transform=transform,
-    ).create(dataset)
-    dm.setup()
-
-    image_encoder, text_encoder, head = load_model(model_str, weights_dir=weights_dir)
-    if tokenizer_dir is not None:
-        text_encoder.tokenizer = HFTokenizer.from_local(tokenizer_dir, config.text.max_length)
-    elif text_encoder.tokenizer is None:
-        text_encoder.tokenizer = HashTokenizer(
-            config.text.vocab_size, config.text.max_length,
-            eos_id=config.text.eos_token_id,
-        )
-
-    print("[1] Precomputing features ...")
-    image_outputs_train, class_ids_train, image_ids_train = precompute_image_features(
-        image_encoder, dm.train_dataloader(),
-        cache_dir=run_dir / "base" / "train", save_predictions=True,
+    ctx = setup_context(
+        model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
+        precompute_batch_size, precompute_num_workers, weights_dir, tokenizer_dir,
     )
-    image_outputs_val, class_ids_val, _ = precompute_image_features(
-        image_encoder, dm.val_dataloader(),
-        cache_dir=run_dir / "base" / "val", save_predictions=True,
-    )
-    image_outputs_test, class_ids_test, _ = precompute_image_features(
-        image_encoder, dm.test_dataloader(),
-        cache_dir=run_dir / "base" / "test", save_predictions=True,
-    )
-    label_outputs = precompute_text_features(
-        text_encoder, dm.class_prompts, batch_size=precompute_batch_size,
-        cache_dir=run_dir / "base", save_predictions=True,
-    )
-
-    A_img, B_img = load_hessians(hessian_dir, tag="img")
-    A_txt, B_txt, info = load_hessians(hessian_dir, tag="txt", return_info=True)
-
-    lambda_img = float(
-        optimize_prior_precision(
-            image_encoder.projection_l2(), image_encoder.projection_num_params(),
-            A=A_img, B=B_img, lmbda_init=info["lambda_img"], n=hessian_scale,
-            lr=1e-2, num_steps=500,
-        )
-    )
-    lambda_txt = float(
-        optimize_prior_precision(
-            text_encoder.projection_l2(), text_encoder.projection_num_params(),
-            A=A_txt, B=B_txt, lmbda_init=info["lambda_txt"], n=hessian_scale,
-            lr=1e-2, num_steps=500,
-        )
-    )
-    covar_info = dict(
-        lambda_img=lambda_img, lambda_txt=lambda_txt,
-        n_img=hessian_scale, n_txt=hessian_scale,
-    )
-    cov_img, cov_txt = compute_covariances(A_img, B_img, A_txt, B_txt, covar_info)
-    head = head.set_covariances(cov_img, cov_txt)
+    dm = ctx.dm
+    image_encoder = ctx.image_encoder
+    head = ctx.head
+    run_dir = ctx.run_dir
+    image_outputs_train, class_ids_train = ctx.image_outputs_train, ctx.class_ids_train
+    image_outputs_test = ctx.image_outputs_test
+    label_outputs = ctx.label_outputs
+    A_img, B_img, A_txt, B_txt = ctx.A_img, ctx.B_img, ctx.A_txt, ctx.B_txt
+    covar_info = ctx.covar_info
 
     print("[2] Making predictions ...")
     mk = lambda feats, map_est: make_predictions(
@@ -291,51 +223,16 @@ def main(
     _save_subsets()
 
     print("[4] Fine-tuning based on training subsets ...")
-    results = {}
-    for subset, indices_dict in subset_indices_train.items():
-        print(f"    - Fine-tuning on subset {subset} ...")
-        indices = extract_test_train_indices(indices_dict)["train"]
-        masked_features = image_outputs_train[jnp.asarray(indices)]
-        masked_class_ids = class_ids_train[jnp.asarray(indices)]
-
-        finetune_dir = subset_dir / subset
-        finetune_dir.mkdir(parents=True, exist_ok=True)
-        checkpoint_path = finetune_dir / "img_projection.pt"
-
-        img_proj = copy.deepcopy(dict(image_encoder.projection_tree()))
-        txt_proj = dict(text_encoder.projection_tree())
-
-        logger = ExperimentLogger(
-            project_name, finetune_dir,
-            name=f"{finetune_dir.parent.name}/{finetune_dir.name}",
-            config=dict(
-                lr=finetune_lr, wd=finetune_wd, epochs=finetune_epochs,
-                batch_size=finetune_batch_size, selection=subset,
-                subset_size=subset_size, k_nearest=k_nearest, dataset=dataset,
-                hessian_scale=hessian_scale, epig_lr=epig_lr,
-                epig_hessian_update_scale=epig_hessian_update_scale,
-                epig_mc_samples=epig_num_samples, knn_method=knn_method,
-            ),
-        )
-        best_proj, best_test_m = finetune_projection(
-            img_proj, txt_proj, head,
-            masked_features, masked_class_ids,
-            image_outputs_val, class_ids_val,
-            image_outputs_test, class_ids_test,
-            label_outputs,
-            lr=finetune_lr, wd=finetune_wd, epochs=finetune_epochs,
-            batch_size=finetune_batch_size,
-            num_classes=len(dm.class_prompts),
-            logger=logger,
-        )
-        logger.finish()
-        save_pt_array(
-            np.ascontiguousarray(np.asarray(best_proj["kernel"]).T), checkpoint_path
-        )
-        results[subset] = best_test_m
-        print(f"      best test metrics: {best_test_m}")
-
-    return results
+    return finetune_all_subsets(
+        ctx, subset_indices_train, subset_dir, project_name, dataset,
+        finetune_lr, finetune_wd, finetune_epochs, finetune_batch_size,
+        config=dict(
+            subset_size=subset_size, k_nearest=k_nearest,
+            hessian_scale=hessian_scale, epig_lr=epig_lr,
+            epig_hessian_update_scale=epig_hessian_update_scale,
+            epig_mc_samples=epig_num_samples, knn_method=knn_method,
+        ),
+    )
 
 
 if __name__ == "__main__":
