@@ -1,0 +1,99 @@
+"""Stage-1 CLI integration: synthetic LAION-style webdataset tars ->
+scripts/hessian_estimation.py (feature cache, GGN, lambda opt, artifact
+dir) -> artifacts load back; resume via cached features/factors."""
+
+import io
+import json
+import sys
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def _make_laion_tar(path, start, n):
+    with tarfile.open(path, "w") as tf:
+        rng = np.random.default_rng(start)
+        for i in range(start, start + n):
+            img = Image.fromarray(
+                rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8), "RGB"
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(name=f"{i:09d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            txt = f"a photo number {i} of something".encode()
+            info = tarfile.TarInfo(name=f"{i:09d}.txt")
+            info.size = len(txt)
+            tf.addfile(info, io.BytesIO(txt))
+
+
+def test_hessian_estimation_cli_on_laion_tars(tmp_path, monkeypatch):
+    import hessian_estimation as he
+
+    # fake LAION shard layout under DATA_BASE_DIR/laion400m
+    laion_dir = tmp_path / "data" / "laion400m"
+    laion_dir.mkdir(parents=True)
+    for s in range(3):
+        _make_laion_tar(laion_dir / f"{s:05d}.tar", s * 24, 24)
+    monkeypatch.setenv("DATA_BASE_DIR", str(tmp_path / "data"))
+
+    hessian_dir = tmp_path / "hessians"
+    he.main(
+        dataset="laion400m",
+        model_str="tiny-clip",
+        precompute_batch_size=8,
+        la_num_classes=16,
+        la_batch_size=4,
+        num_workers=2,
+        hessian_dir=str(hessian_dir),
+        num_files=2,               # file-slicing contract
+        max_datapoints=32,
+        lambda_init_txt=10.0,
+        lambda_init_img=10.0,
+        n_init_txt=1.0,
+        n_init_img=1.0,
+        lr=1e-2,
+        num_steps=30,
+        use_mesh=True,             # exercises the virtual 8-device psum path
+    )
+
+    # artifact contract
+    for f in (
+        "A_img_analytic.pt", "B_img_analytic.pt",
+        "A_txt_analytic.pt", "B_txt_analytic.pt",
+        "prior_precision_analytic.json",
+        "activations_img.pt", "embeddings_img.pt",
+        "activations_txt.pt", "embeddings_txt.pt",
+    ):
+        assert (hessian_dir / f).exists(), f
+
+    with open(hessian_dir / "prior_precision_analytic.json") as fh:
+        info = json.load(fh)
+    assert info["lambda_img"] > 0 and info["lambda_txt"] > 0
+    assert info["n_img"] == 1.0
+
+    from bayesvlm_tpu.io.artifacts import load_covariances
+
+    cov_img, cov_txt = load_covariances(hessian_dir)
+    D = 16  # tiny-clip projection dim
+    assert cov_img.B_inv.shape == (D, D)
+    assert np.isfinite(np.asarray(cov_img.A_inv)).all()
+
+    # resume: second run must reuse factors (mtimes unchanged)
+    mtime = (hessian_dir / "A_img_analytic.pt").stat().st_mtime
+    he.main(
+        dataset="laion400m", model_str="tiny-clip",
+        precompute_batch_size=8, la_num_classes=16, la_batch_size=4,
+        num_workers=2, hessian_dir=str(hessian_dir), num_files=2,
+        max_datapoints=32, lambda_init_txt=10.0, lambda_init_img=10.0,
+        n_init_txt=1.0, n_init_img=1.0, lr=1e-2, num_steps=30,
+    )
+    assert (hessian_dir / "A_img_analytic.pt").stat().st_mtime == mtime
