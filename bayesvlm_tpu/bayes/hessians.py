@@ -43,6 +43,25 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _assemble_factor(w: Array, G: Array, Y: Array) -> Array:
+    """Final [D, D] factor Y^T diag(w) Y + G.
+
+    Computed as a sqrt-weighted Gram (w >= 0 for both losses): in
+    Y^T @ (w*Y) the (i,j) entry rounds Y[c,i]*fl(w_c*Y[c,j]) while (j,i)
+    rounds Y[c,j]*fl(w_c*Y[c,i]) — a ~1-ulp/term skew that accumulates to
+    ~1e-4 absolute asymmetry over 10^5-sample runs at exp(2s) scaling.
+    (sqrt(w)*Y)^T (sqrt(w)*Y) has identical per-term products for (i,j)
+    and (j,i), so the output is symmetric to the last ulp.
+    """
+    with jax.default_matmul_precision("highest"):
+        Yw = jnp.sqrt(jnp.maximum(w, 0.0))[:, None] * Y
+        H = Yw.T @ Yw + G
+        # G's cross terms (U^T V + V^T U) are two separate GEMMs whose
+        # reduction tilings may differ by ~1 ulp; the GGN is symmetric by
+        # definition, so project out the rounding skew exactly.
+        return 0.5 * (H + H.T)
+
+
 def _l2_normalize(x: Array, axis: int = -1, keepdims: bool = False):
     norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
     normalized = x / norm
@@ -95,7 +114,15 @@ def _infonce_block_stats(
     Vb = V * inv_r[:, None]
     Qb = Q * inv_r[:, None]
 
-    G = -(Qb.T @ Qb) - (Ub.T @ Vb) - (Vb.T @ Ub) + (Ub * s[:, None]).T @ Ub
+    # s_b = Var_{p_b}(z_b) >= 0 exactly; clamp fp rounding of E[z^2]-E[z]^2
+    # so the sqrt-weighted Gram below is well defined. Computing the
+    # diag-weighted term as (sqrt(s)*U)^T (sqrt(s)*U) instead of
+    # (s*U)^T U makes the per-term products identical for the (i,j) and
+    # (j,i) entries, so the GEMM output is symmetric to the last ulp —
+    # the asymmetric form accumulates ~1-ulp/term skew that reaches ~1e-4
+    # absolute after 10^5-sample accumulation at exp(2s) scaling.
+    Us = Ub * jnp.sqrt(jnp.maximum(s, 0.0))[:, None]
+    G = -(Qb.T @ Qb) - (Ub.T @ Vb) - (Vb.T @ Ub) + Us.T @ Us
     return w * scale**2, G * scale**2
 
 
@@ -147,8 +174,7 @@ def hessian_infonce(
             w = w + w_r
             G = G + G_r
 
-    with jax.default_matmul_precision("highest"):
-        return Y.T @ (w[:, None] * Y) + G
+    return _assemble_factor(w, G, Y)
 
 
 @partial(jax.jit, static_argnames=())
@@ -186,7 +212,10 @@ def _siglip_block_stats(
 
     Ub = U * inv_r[:, None]
     Vb = V * inv_r[:, None]
-    G = -(Ub.T @ Vb) - (Vb.T @ Ub) + (Ub * s[:, None]).T @ Ub
+    # s_b = sum_j c_j z_j^2 >= 0 (c is a sigmoid product); sqrt-weighted
+    # Gram keeps the GEMM exactly symmetric (see _infonce_block_stats).
+    Us = Ub * jnp.sqrt(jnp.maximum(s, 0.0))[:, None]
+    G = -(Ub.T @ Vb) - (Vb.T @ Ub) + Us.T @ Us
     return w, G
 
 
@@ -240,8 +269,7 @@ def hessian_siglip(
             w = w + w_r
             G = G + G_r
 
-    with jax.default_matmul_precision("highest"):
-        return Yn.T @ (w[:, None] * Yn) + G
+    return _assemble_factor(w, G, Yn)
 
 
 @partial(jax.jit, static_argnames=("append_bias_column",))

@@ -58,9 +58,16 @@ class HashTokenizer:
         self.eos_id = eos_id if eos_id is not None else vocab_size - 1
 
     def _tok(self, text: str) -> List[int]:
+        import hashlib
+
         ids = [self.bos_id]
         for w in text.lower().split():
-            h = abs(hash(w)) % (self.vocab_size - 2)
+            # Stable digest, not Python hash(): hash() is randomized per
+            # process (PYTHONHASHSEED), which made "deterministic" test
+            # inputs vary across runs.
+            h = int.from_bytes(
+                hashlib.md5(w.encode()).digest()[:4], "little"
+            ) % (self.vocab_size - 2)
             ids.append(1 + h)
         ids = ids[: self.max_length - 1]
         ids.append(self.eos_id)

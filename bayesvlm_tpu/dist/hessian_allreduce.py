@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from bayesvlm_tpu.bayes.hessians import (
+    _assemble_factor,
     _infonce_block_stats,
     _siglip_block_stats,
     _l2_normalize,
@@ -61,7 +62,7 @@ def sharded_hessian_infonce(
         w, G = _infonce_block_stats(src_shard, Y_rep, s, row_mask=mask_shard)
         w = jax.lax.psum(w, axis)
         G = jax.lax.psum(G, axis)
-        return Y_rep.T @ (w[:, None] * Y_rep) + G
+        return _assemble_factor(w, G, Y_rep)
 
     return jax.jit(_shard_fn)(
         jnp.asarray(src), Y, scale, jnp.asarray(mask)
@@ -97,7 +98,7 @@ def sharded_hessian_siglip(
         w, G = _siglip_block_stats(x_shard, idx_shard, Yn_rep, s_, b_, row_mask=mask_shard)
         w = jax.lax.psum(w, axis)
         G = jax.lax.psum(G, axis)
-        return Yn_rep.T @ (w[:, None] * Yn_rep) + G
+        return _assemble_factor(w, G, Yn_rep)
 
     return jax.jit(_shard_fn)(
         jnp.asarray(x), jnp.asarray(idx), Yn, s, b, jnp.asarray(mask)
