@@ -40,11 +40,18 @@ def kfac_ggn(
     target_embeds,
     likelihood: str,
     block_size: int = 2048,
+    chunk_size_j: Optional[int] = None,
     mesh=None,
     progress: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (A, B), both already divided by sqrt(n)
-    (ref:hessian_estimation.py:106-109)."""
+    (ref:hessian_estimation.py:106-109).
+
+    `block_size` chunks the source axis (the CLI threads --la_batch_size
+    here; the reference's default of 5 bounds its [B, D, D] intermediates,
+    ours bounds the [block, C] logits buffer — results are invariant).
+    `chunk_size_j` chunks the SigLIP target axis (--siglip_chunk_size).
+    """
     source_embeds = np.asarray(source_embeds, np.float32)
     source_activations = np.asarray(source_activations, np.float32)
     target_embeds = np.asarray(target_embeds, np.float32)
@@ -91,7 +98,8 @@ def kfac_ggn(
                 H = sharded_hessian_siglip(src, indices, tgt, logit_scale, logit_bias, mesh)
             else:
                 H = hessian_siglip(
-                    src, indices, tgt, logit_scale, logit_bias, block_size=block_size
+                    src, indices, tgt, logit_scale, logit_bias,
+                    block_size=block_size, chunk_size_j=chunk_size_j,
                 )
             B = B + np.asarray(H, np.float64)
             if use_mesh:

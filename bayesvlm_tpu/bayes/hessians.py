@@ -177,7 +177,7 @@ def hessian_infonce(
     return _assemble_factor(w, G, Y)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("chunk_j",))
 @jax.default_matmul_precision("highest")
 def _siglip_block_stats(
     x_block: Array,        # [B, D] source embeds
@@ -186,7 +186,16 @@ def _siglip_block_stats(
     logit_scale: Array,
     logit_bias: Array,
     row_mask: Optional[Array] = None,
+    chunk_j: Optional[int] = None,
 ):
+    """Per-block partial sums for the SigLIP GGN.
+
+    `chunk_j` optionally scans the target axis in chunks of that size,
+    bounding the [B, N] logits buffers to [B, chunk_j] — the TPU analogue
+    of the reference's chunk-over-j loop (ref:bayesvlm/hessians.py:98-115),
+    wired to the CLI's --siglip_chunk_size. Results are chunking-invariant
+    (the statistics are plain sums over j).
+    """
     scale = jnp.exp(logit_scale)
     if row_mask is not None:
         safe = row_mask[:, None] > 0
@@ -197,18 +206,49 @@ def _siglip_block_stats(
         inv_r = inv_r * row_mask
     inv_r2 = inv_r * inv_r
 
-    Z = U @ Yn.T                                   # [B, N] cosine sims
-    logits = Z * scale + logit_bias
+    B = x_block.shape[0]
     N = Yn.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (x_block.shape[0], N), 1)
-    labels = jnp.where(col == diag_idx[:, None], 1.0, -1.0)
-    sig = jax.nn.sigmoid(logits * labels)
-    C = (scale**2) * sig * (1.0 - sig)             # [B, N] per-pair weights
 
-    w = C.T @ inv_r2                               # [N]
-    CZ = C * Z
-    V = CZ @ Yn                                    # [B, D]  v_b = Y^T (c*z)
-    s = jnp.sum(CZ * Z, axis=-1)                   # [B]     u^T v
+    def _stats_for(Y_c: Array, col: Array, col_valid: Optional[Array]):
+        # Y_c: [n, D] target chunk; col: [n] global column ids.
+        Z = U @ Y_c.T                              # [B, n] cosine sims
+        logits = Z * scale + logit_bias
+        labels = jnp.where(col[None, :] == diag_idx[:, None], 1.0, -1.0)
+        sig = jax.nn.sigmoid(logits * labels)
+        C = (scale**2) * sig * (1.0 - sig)         # [B, n] per-pair weights
+        if col_valid is not None:
+            C = C * col_valid[None, :]
+        w_c = C.T @ inv_r2                         # [n]
+        CZ = C * Z
+        V_c = CZ @ Y_c                             # [B, D] partial v_b
+        s_c = jnp.sum(CZ * Z, axis=-1)             # [B]    partial u^T v
+        return w_c, V_c, s_c
+
+    if chunk_j is None or chunk_j >= N:
+        cols = jax.lax.iota(jnp.int32, N)
+        w, V, s = _stats_for(Yn, cols, None)
+    else:
+        pad = (-N) % chunk_j
+        Yp = jnp.pad(Yn, ((0, pad), (0, 0)))
+        valid = jnp.pad(jnp.ones(N, jnp.float32), (0, pad))
+        n_chunks = Yp.shape[0] // chunk_j
+        Yp = Yp.reshape(n_chunks, chunk_j, -1)
+        validp = valid.reshape(n_chunks, chunk_j)
+        base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_j
+        local = jax.lax.iota(jnp.int32, chunk_j)
+
+        def body(carry, inp):
+            V_acc, s_acc = carry
+            Y_c, v_c, b0 = inp
+            w_c, V_c, s_c = _stats_for(Y_c, b0 + local, v_c)
+            return (V_acc + V_c, s_acc + s_c), w_c
+
+        init = (
+            jnp.zeros((B, Yn.shape[1]), jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+        )
+        (V, s), w_stack = jax.lax.scan(body, init, (Yp, validp, base))
+        w = w_stack.reshape(-1)[:N]
 
     Ub = U * inv_r[:, None]
     Vb = V * inv_r[:, None]
@@ -226,13 +266,17 @@ def hessian_siglip(
     logit_scale: Array,
     logit_bias: Array,
     block_size: Optional[int] = None,
+    chunk_size_j: Optional[int] = None,
 ) -> Array:
     """GGN of the SigLIP sigmoid loss wrt the source embeddings, summed over
     the batch. Exact reformulation of ref:bayesvlm/hessians.py:50-117.
 
     `indices_batch[b]` gives the row of the [N,N] label matrix (2I - 1) used
-    for sample b (ref:bayesvlm/hessians.py:89-90). The chunk-over-j loop of
-    the reference is unnecessary here: no [B, D, D] intermediate exists.
+    for sample b (ref:bayesvlm/hessians.py:89-90). The reference chunks the
+    target axis at `chunk_size_j` to bound its [B, D, D] intermediates; here
+    no such intermediate exists, but `chunk_size_j` still bounds the [B, N]
+    logits buffers (results are chunking-invariant). `block_size` chunks the
+    source axis the same way.
     """
     x_batch = jnp.asarray(x_batch, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
@@ -243,7 +287,10 @@ def hessian_siglip(
 
     B = x_batch.shape[0]
     if block_size is None or block_size >= B:
-        w, G = _siglip_block_stats(x_batch, indices_batch, Yn, logit_scale, logit_bias)
+        w, G = _siglip_block_stats(
+            x_batch, indices_batch, Yn, logit_scale, logit_bias,
+            chunk_j=chunk_size_j,
+        )
     else:
         n_full = B // block_size
         xb = x_batch[: n_full * block_size].reshape(n_full, block_size, -1)
@@ -252,7 +299,9 @@ def hessian_siglip(
         def body(carry, blk):
             w_acc, G_acc = carry
             x_blk, i_blk = blk
-            w, G = _siglip_block_stats(x_blk, i_blk, Yn, logit_scale, logit_bias)
+            w, G = _siglip_block_stats(
+                x_blk, i_blk, Yn, logit_scale, logit_bias, chunk_j=chunk_size_j,
+            )
             return (w_acc + w, G_acc + G), None
 
         init = (
@@ -264,7 +313,7 @@ def hessian_siglip(
             w_r, G_r = _siglip_block_stats(
                 x_batch[n_full * block_size :],
                 indices_batch[n_full * block_size :],
-                Yn, logit_scale, logit_bias,
+                Yn, logit_scale, logit_bias, chunk_j=chunk_size_j,
             )
             w = w + w_r
             G = G + G_r

@@ -258,6 +258,12 @@ def select_epig_online(
                 continue
             best = int(idx)
             break
+        if best is None:
+            raise ValueError(
+                f"EPIG pool exhausted at step {i}/{budget}: all "
+                f"{len(order)} subsampled candidates are already selected "
+                f"(budget too large for the pool subsample)."
+            )
 
         best_activation = pool_sub.activations[best][None]
         best_residual = pool_sub.residuals[best][None]

@@ -127,8 +127,12 @@ def select_topk_classbalanced(
         else:
             score = entropy_score(sub, entropy_variant)
         _, idx = jax.lax.top_k(score, min(n, score.shape[0]))
-        # NOTE (reference quirk preserved): indices are within-class-local
-        # (ref:bayesvlm/selection.py:97-100 also returns masked positions)
+        # DIVERGENCE (latent reference bug FIXED here): the reference
+        # returns within-class-LOCAL positions (ref:bayesvlm/selection.py:
+        # 96-102 appends topk indices taken inside the class mask), which
+        # are meaningless as dataset indices downstream. We map them back
+        # to GLOBAL dataset indices. Documented + tested in
+        # tests/test_reference_parity_selection.py.
         out.append(np.nonzero(mask)[0][np.asarray(idx)])
     return jnp.asarray(np.concatenate(out))
 

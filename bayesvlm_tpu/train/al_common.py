@@ -175,6 +175,10 @@ def finetune_all_subsets(
         finetune_dir = subset_dir / subset
         finetune_dir.mkdir(parents=True, exist_ok=True)
         checkpoint_path = finetune_dir / "img_projection.pt"
+        if checkpoint_path.exists():
+            # skip-if-exists resume (ref:activelearning_kmeans.py:424)
+            print(f"      checkpoint exists, skipping: {checkpoint_path}")
+            continue
 
         img_proj = copy.deepcopy(dict(ctx.image_encoder.projection_tree()))
         txt_proj = dict(ctx.text_encoder.projection_tree())

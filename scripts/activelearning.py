@@ -264,6 +264,10 @@ if __name__ == "__main__":
     parser.add_argument("--device", type=str, default="tpu")  # CLI parity
     parser.add_argument("--weights_dir", type=str, default=None)
     parser.add_argument("--tokenizer_dir", type=str, default=None)
+    # TPU-repo extras: EPIG sizing knobs (main() kwargs in the reference)
+    parser.add_argument("--epig_num_samples", type=int, default=100)
+    parser.add_argument("--epig_pool_max_size", type=int, default=40_000)
+    parser.add_argument("--epig_target_max_size", type=int, default=20_000)
     args = parser.parse_args()
 
     main(
@@ -287,6 +291,9 @@ if __name__ == "__main__":
         without_epig=args.without_epig,
         epig_lr=args.epig_lr,
         epig_hessian_update_scale=args.epig_hessian_update_scale,
+        epig_num_samples=args.epig_num_samples,
+        epig_pool_max_size=args.epig_pool_max_size,
+        epig_target_max_size=args.epig_target_max_size,
         k_nearest=args.k_nearest,
         knn_method=args.knn_method,
         weights_dir=args.weights_dir,

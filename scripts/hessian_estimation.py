@@ -117,7 +117,8 @@ def main(
         A_img, B_img = kfac_ggn(
             scale, bias, la_num_classes,
             embeddings_img, activations_img, embeddings_txt,
-            likelihood, mesh=mesh, progress=True,
+            likelihood, block_size=la_batch_size,
+            chunk_size_j=siglip_chunk_size_j, mesh=mesh, progress=True,
         )
         save_hessians(hessian_dir, A_img, B_img, "img")
 
@@ -131,7 +132,8 @@ def main(
         A_txt, B_txt = kfac_ggn(
             scale, bias, la_num_classes,
             embeddings_txt, activations_txt, embeddings_img,
-            likelihood, mesh=mesh, progress=True,
+            likelihood, block_size=la_batch_size,
+            chunk_size_j=siglip_chunk_size_j, mesh=mesh, progress=True,
         )
         save_hessians(hessian_dir, A_txt, B_txt, "txt")
 
@@ -162,12 +164,20 @@ if __name__ == "__main__":
     parser.add_argument("--model", type=str, default="clip-base")
     parser.add_argument("--precompute_batch_size", type=int, default=10)
     parser.add_argument("--la_num_classes", type=int, default=32768)
-    parser.add_argument("--la_batch_size", type=int, default=5)
+    parser.add_argument(
+        "--la_batch_size", type=int, default=2048,
+        help="GGN source-axis block size. Results are block-size invariant; "
+        "the reference defaults to 5 to bound its [B,D,D] per-sample "
+        "intermediates, which this GEMM reformulation does not have, so "
+        "the default here is sized for the [block, C] logits buffer.")
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--hessian_dir", type=str, default="hessians/custom-hessian-clip-base")
     parser.add_argument("--num_files", type=int, default=60)
     parser.add_argument("--max_datapoints", type=int, default=327680)
-    parser.add_argument("--siglip_chunk_size", type=int, default=8000)
+    parser.add_argument(
+        "--siglip_chunk_size", type=int, default=8000,
+        help="SigLIP GGN target-axis chunk (bounds the [block, N] logits "
+        "buffers; ref:bayesvlm/hessians.py:98-115). Results are invariant.")
     parser.add_argument("--lambda_init_txt", type=float, default=400)
     parser.add_argument("--lambda_init_img", type=float, default=800)
     parser.add_argument("--n_init_txt", type=float, default=1.0)

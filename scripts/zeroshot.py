@@ -30,6 +30,7 @@ def main(
     num_workers: int = 4,
     weights_dir=None,
     tokenizer_dir=None,
+    dtype: str = "bf16",
 ):
     import jax.numpy as jnp
 
@@ -64,7 +65,10 @@ def main(
     ).create(dataset)
     dm.setup()
 
-    image_encoder, text_encoder, head = load_model(model_str, weights_dir=weights_dir)
+    jdtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[dtype]
+    image_encoder, text_encoder, head = load_model(
+        model_str, weights_dir=weights_dir, dtype=jdtype
+    )
     if tokenizer_dir is not None:
         text_encoder.tokenizer = HFTokenizer.from_local(tokenizer_dir, config.text.max_length)
     elif text_encoder.tokenizer is None:
@@ -137,6 +141,8 @@ if __name__ == "__main__":
     parser.add_argument("--device", type=str, default="tpu")  # CLI parity
     parser.add_argument("--weights_dir", type=str, default=None)
     parser.add_argument("--tokenizer_dir", type=str, default=None)
+    parser.add_argument("--dtype", type=str, default="bf16",
+                        choices=["bf16", "fp32"])  # TPU extra
     args = parser.parse_args()
 
     main(
@@ -148,4 +154,5 @@ if __name__ == "__main__":
         num_workers=args.num_workers,
         weights_dir=args.weights_dir,
         tokenizer_dir=args.tokenizer_dir,
+        dtype=args.dtype,
     )

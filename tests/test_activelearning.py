@@ -114,6 +114,11 @@ def test_activelearning_resume_uses_checkpoint(al_run):
         (tmp / "exp" / "synthetic").glob("subset_*/subset_indices_train.json")
     )[0]
     before = subset_json.read_text()
+    ckpts = sorted(
+        (tmp / "exp" / "synthetic").glob("subset_*/*/img_projection.pt")
+    )
+    assert ckpts
+    mtimes_before = {p: p.stat().st_mtime for p in ckpts}
 
     results = al.main(
         model_str="tiny-clip",
@@ -137,4 +142,7 @@ def test_activelearning_resume_uses_checkpoint(al_run):
     after = subset_json.read_text()
     # same selection content (strategies not recomputed)
     assert json.loads(before) == json.loads(after)
-    assert len(results) == 14
+    # skip-if-exists projection-checkpoint resume
+    # (ref:activelearning_kmeans.py:424): no checkpoint rewritten
+    for p, m in mtimes_before.items():
+        assert p.stat().st_mtime == m, f"checkpoint rewritten: {p}"

@@ -89,3 +89,26 @@ def test_update_embeddings_formula():
         + np.asarray(bias) + np.asarray(feats.residuals)
     )
     np.testing.assert_allclose(np.asarray(out.embeds), expected, rtol=1e-5)
+
+
+def test_epig_online_pool_exhaustion_raises_cleanly():
+    """When every subsampled candidate is already selected mid-budget, the
+    loop must raise an intelligible ValueError instead of a TypeError on
+    best=None (round-1 VERDICT weak #6)."""
+    rng = np.random.default_rng(3)
+    kernel, pool, targ, lbl, A_i, B_i, A_t, B_t, info, head = _setup(
+        rng, n_pool=5
+    )
+    with pytest.raises(ValueError, match="EPIG pool exhausted"):
+        select_epig_online(
+            label_features=lbl, pool_features=pool, target_features=targ,
+            pool_class_ids=jnp.zeros(5, jnp.int32),
+            projection_kernel=kernel, projection_bias=None,
+            head=head, A_img=A_i, A_txt=A_t, B_img=B_i, B_txt=B_t,
+            cov_info=info, budget=8, lr=1e-3, hessian_update_scale=10.0,
+            num_samples=4, seed=0,
+            projection_l2=float(jnp.sum(kernel**2)),
+            projection_num_params=kernel.size,
+            pool_subsampling="random", pool_max_size=5,
+            hessian_n0=100,
+        )

@@ -141,3 +141,29 @@ def test_activation_gram():
     assert with_bias.shape == (5, 5)
     a1 = np.concatenate([a, np.ones((10, 1), np.float32)], axis=1)
     np.testing.assert_allclose(with_bias, a1.T @ a1, rtol=1e-5, atol=1e-5)
+
+
+def test_siglip_chunk_j_invariance():
+    """--siglip_chunk_size semantics: target-axis chunking must not change
+    the GGN (incl. a non-divising chunk size exercising the padded tail)."""
+    import jax.numpy as jnp
+
+    from bayesvlm_tpu.bayes.hessians import hessian_siglip
+
+    rng = np.random.default_rng(7)
+    B, N, D = 12, 23, 6
+    x = rng.normal(size=(B, D)).astype(np.float32)
+    y = rng.normal(size=(N, D)).astype(np.float32)
+    idx = rng.integers(0, N, size=B).astype(np.int32)
+    scale, bias = jnp.float32(1.2), jnp.float32(-0.7)
+
+    full = np.asarray(hessian_siglip(x, idx, y, scale, bias))
+    for chunk in (4, 7, 23, 100):
+        chunked = np.asarray(
+            hessian_siglip(x, idx, y, scale, bias, chunk_size_j=chunk)
+        )
+        np.testing.assert_allclose(chunked, full, rtol=1e-4, atol=1e-5)
+    both = np.asarray(
+        hessian_siglip(x, idx, y, scale, bias, block_size=5, chunk_size_j=4)
+    )
+    np.testing.assert_allclose(both, full, rtol=1e-4, atol=1e-5)

@@ -142,3 +142,46 @@ def test_knn_cosine_full_structure_parity():
     assert sorted(extract_test_train_indices(our_out)["train"]) == sorted(
         ref_extract(ref_out)["train"]
     )
+
+
+def test_select_topk_classbalanced_divergence_documented():
+    """DIVERGENCE test (latent reference bug fixed here): the reference's
+    select_topk_classbalanced returns topk indices taken INSIDE each class
+    mask (within-class-local positions, ref:bayesvlm/selection.py:96-100);
+    we return global dataset indices. This test pins both behaviors so the
+    divergence stays documented."""
+    from bayesvlm.selection import (
+        select_topk_classbalanced as ref_classbalanced,
+    )
+
+    from bayesvlm_tpu.select.scores import select_topk_classbalanced
+
+    rng = np.random.default_rng(4)
+    N, C = 30, 4
+    mean = rng.normal(size=(N, C)).astype(np.float32)
+    # classbalanced 'var' sums the DIAGONAL variance over classes
+    # (ref:bayesvlm/selection.py:96: var[mask].sum(dim=1))
+    var = rng.uniform(0.1, 2, size=(N, C)).astype(np.float32)
+    class_ids = rng.integers(0, 3, size=N)
+
+    ref_idx = ref_classbalanced(
+        RefPL(mean=torch.tensor(mean), var=torch.tensor(var)),
+        torch.tensor(class_ids), k=6, variant="var",
+    ).numpy()
+    our_idx = np.asarray(select_topk_classbalanced(
+        ProbabilisticLogits(jnp.asarray(mean), jnp.asarray(var)),
+        jnp.asarray(class_ids), 6, variant="var",
+    ))
+
+    # our indices are valid GLOBAL positions with the right class quota
+    assert len(our_idx) == 6
+    counts = np.bincount(class_ids[our_idx], minlength=3)
+    assert counts.tolist() == [2, 2, 2]
+    # the reference's are within-class-local: map ours back to local
+    # positions per class and the two must coincide per-class
+    for c in range(3):
+        cls_pos = np.nonzero(class_ids == c)[0]
+        ours_c = our_idx[class_ids[our_idx] == c]
+        ours_local = np.array([np.nonzero(cls_pos == g)[0][0] for g in ours_c])
+        ref_c = ref_idx[2 * c : 2 * c + 2]  # reference concatenates per class
+        np.testing.assert_array_equal(np.sort(ours_local), np.sort(ref_c))
