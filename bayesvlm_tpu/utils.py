@@ -38,3 +38,20 @@ def get_likelihood_for_model(model_str: str) -> str:
 
     family = CONFIGS_BY_NAME[model_str].family
     return "info_nce" if family == "clip" else "siglip"
+
+
+def apply_device_flag(device: str) -> None:
+    """Honor the reference CLI's --device flag (ref: e.g. zeroshot.py:140).
+
+    "cpu" forces the CPU platform (jax.config, since the JAX_PLATFORMS env
+    var can be overridden by accelerator plugins); "tpu"/"cuda"/"mps" and
+    anything else keep the default platform resolution (TPU when present).
+    Must be called before the JAX backend initializes.
+    """
+    if device == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backend already initialized; leave platform as-is

@@ -270,6 +270,11 @@ if __name__ == "__main__":
     parser.add_argument("--epig_target_max_size", type=int, default=20_000)
     args = parser.parse_args()
 
+    if getattr(args, "device", None):
+        from bayesvlm_tpu.utils import apply_device_flag
+
+        apply_device_flag(args.device)
+
     main(
         model_str=args.model,
         dataset=args.dataset,

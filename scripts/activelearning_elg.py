@@ -139,7 +139,13 @@ if __name__ == "__main__":
     parser.add_argument("--knn_method", type=str, default="wasserstein")
     parser.add_argument("--weights_dir", type=str, default=None)
     parser.add_argument("--tokenizer_dir", type=str, default=None)
+    parser.add_argument("--device", type=str, default="tpu")  # CLI parity
     args = parser.parse_args()
+
+    if getattr(args, "device", None):
+        from bayesvlm_tpu.utils import apply_device_flag
+
+        apply_device_flag(args.device)
 
     main(
         model_str=args.model, dataset=args.dataset, hessian_dir=args.hessian_dir,

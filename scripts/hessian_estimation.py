@@ -191,6 +191,11 @@ if __name__ == "__main__":
     parser.add_argument("--no_mesh", action="store_true")
     args = parser.parse_args()
 
+    if getattr(args, "device", None):
+        from bayesvlm_tpu.utils import apply_device_flag
+
+        apply_device_flag(args.device)
+
     main(
         dataset=args.dataset,
         model_str=args.model,

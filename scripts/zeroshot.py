@@ -124,7 +124,9 @@ def main(
     print(f"ACC: {float(np.mean(np.asarray(acc)))}, {float(np.std(np.asarray(acc)))}")
     print(f"NLPD: {float(np.mean(np.asarray(nlpd)))}, {float(np.std(np.asarray(nlpd)))}")
     print(f"ECE: {ece}")
-    return float(np.mean(np.asarray(acc))), float(np.mean(np.asarray(nlpd))), ece
+    result = (float(np.mean(np.asarray(acc))), float(np.mean(np.asarray(nlpd))), ece)
+    main.last_info = dict(info)  # exposed for H2H tests (lambda_img/txt)
+    return result
 
 
 if __name__ == "__main__":
@@ -144,6 +146,11 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="bf16",
                         choices=["bf16", "fp32"])  # TPU extra
     args = parser.parse_args()
+
+    if getattr(args, "device", None):
+        from bayesvlm_tpu.utils import apply_device_flag
+
+        apply_device_flag(args.device)
 
     main(
         dataset=args.dataset,
