@@ -40,16 +40,22 @@ def entropy_score(
     variant: str,
     num_samples: int = 1000,
     seed: Optional[int] = None,
+    chunk_size: Optional[int] = 10_000,
 ) -> Array:
-    """ref:bayesvlm/selection.py:7-26."""
+    """ref:bayesvlm/selection.py:7-26. `chunk_size` bounds the full-
+    covariance MC sample buffers (ref:bayesvlm/vlm.py:87-103 chunking)."""
     if variant == "exp_alea":
-        return prob_logits.expected_aleatoric_entropy(num_samples=num_samples, seed=seed)
+        return prob_logits.expected_aleatoric_entropy(
+            num_samples=num_samples, seed=seed, chunk_size=chunk_size
+        )
     if variant == "map_alea":
         probas = jax.nn.softmax(prob_logits.mean, axis=-1)
     elif variant == "comb":
         probas = prob_logits.softmax(num_samples=0, seed=seed)
     elif variant == "comb_covar":
-        probas = prob_logits.softmax(num_samples=num_samples, seed=seed)
+        probas = prob_logits.softmax(
+            num_samples=num_samples, seed=seed, chunk_size=chunk_size
+        )
     else:
         raise ValueError(f"unknown entropy variant {variant}")
     return _plain_entropy(probas)
@@ -61,6 +67,7 @@ def complexity_score(
     entropy_variant: Optional[str] = None,
     seed: Optional[int] = None,
     num_samples: int = 1000,
+    chunk_size: Optional[int] = 10_000,
 ) -> Array:
     """ref:bayesvlm/selection.py:28-50."""
     if variant == "var":
@@ -68,14 +75,19 @@ def complexity_score(
     if variant == "logdet":
         return jnp.linalg.slogdet(prob_logits.var)[1]
     if variant == "entropy":
-        return entropy_score(prob_logits, entropy_variant, seed=seed, num_samples=num_samples)
+        return entropy_score(prob_logits, entropy_variant, seed=seed,
+                             num_samples=num_samples, chunk_size=chunk_size)
     if variant == "exp_mutual_info":
-        total = entropy_score(prob_logits, "comb_covar", seed=seed, num_samples=num_samples)
-        alea = entropy_score(prob_logits, "exp_alea", seed=seed, num_samples=num_samples)
+        total = entropy_score(prob_logits, "comb_covar", seed=seed,
+                              num_samples=num_samples, chunk_size=chunk_size)
+        alea = entropy_score(prob_logits, "exp_alea", seed=seed,
+                             num_samples=num_samples, chunk_size=chunk_size)
         return total - alea
     if variant == "map_mutual_info":
-        total = entropy_score(prob_logits, "comb_covar", seed=seed, num_samples=num_samples)
-        alea = entropy_score(prob_logits, "map_alea", seed=seed, num_samples=num_samples)
+        total = entropy_score(prob_logits, "comb_covar", seed=seed,
+                              num_samples=num_samples, chunk_size=chunk_size)
+        alea = entropy_score(prob_logits, "map_alea", seed=seed,
+                             num_samples=num_samples, chunk_size=chunk_size)
         return total - alea
     raise ValueError(f"unknown complexity variant {variant}")
 
@@ -88,13 +100,15 @@ def select_topk(
     ignore_percentage: float = 0.0,
     return_values: bool = False,
     seed: Optional[int] = None,
+    chunk_size: Optional[int] = 10_000,
 ):
     """Top-k by complexity with optional head-offset
     (ref:bayesvlm/selection.py:52-75)."""
     N = prob_logits.mean.shape[0]
     offset = int(N * ignore_percentage) if ignore_percentage > 0 else 0
     n = min(k + offset, N)
-    complexity = complexity_score(prob_logits, variant, entropy_variant, seed=seed)
+    complexity = complexity_score(prob_logits, variant, entropy_variant,
+                                  seed=seed, chunk_size=chunk_size)
     values, indices = jax.lax.top_k(complexity, n)
     if return_values:
         return indices[offset:], values[offset:]

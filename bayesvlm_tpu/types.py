@@ -162,72 +162,123 @@ class ProbabilisticLogits:
         return jax.nn.log_softmax(probit_scaled_mean(self.mean, self.var), axis=-1)
 
     def _sample_logits(self, key: Array, num_samples: int) -> Array:
-        """[S, N, C] Gaussian samples of the logits."""
+        """[S, N, C] Gaussian samples of the logits (diagonal variance)."""
         if self.var.ndim == self.mean.ndim:  # diagonal
             std = jnp.sqrt(self.var)
             eps = jax.random.normal(
                 key, (num_samples,) + self.mean.shape, dtype=self.mean.dtype
             )
             return self.mean[None] + eps * std[None]
-        # full covariance [N, C, C]: sample via cholesky factor, with a
-        # static jitter fallback for near-singular covariances (the
-        # reference retries MVN construction with growing jitter,
-        # ref:bayesvlm/vlm_elg.py:113-119)
-        chol = jnp.linalg.cholesky(self.var)
-        C = self.var.shape[-1]
+        # full covariance: delegate to the chunked path in one chunk
+        return jnp.swapaxes(
+            self._fullcov_logits_chunk(slice(0, len(self)), key, num_samples),
+            0, 1,
+        )
+
+    def _fullcov_logits_chunk(self, sl: slice, key: Array, num_samples: int) -> Array:
+        """[n, S, C] MVN logit samples for one row chunk.
+
+        Sampling is keyed PER ROW (fold_in of the global row index), so the
+        result is invariant to the chunking. Cholesky gets a static jitter
+        fallback for near-singular covariances (the reference retries MVN
+        construction with growing jitter, ref:bayesvlm/vlm_elg.py:113-119).
+        """
+        mean = self.mean[sl]
+        var = self.var[sl]
+        C = var.shape[-1]
+        chol = jnp.linalg.cholesky(var)
         jitter = 1e-6 * jnp.maximum(
-            jnp.trace(self.var, axis1=-2, axis2=-1) / C, 1.0
+            jnp.trace(var, axis1=-2, axis2=-1) / C, 1.0
         )[..., None, None]
-        chol_j = jnp.linalg.cholesky(self.var + jitter * jnp.eye(C, dtype=self.var.dtype))
+        chol_j = jnp.linalg.cholesky(var + jitter * jnp.eye(C, dtype=var.dtype))
         bad = jnp.any(jnp.isnan(chol), axis=(-2, -1), keepdims=True)
         chol = jnp.where(bad, chol_j, chol)
-        eps = jax.random.normal(
-            key, (num_samples,) + self.mean.shape, dtype=self.mean.dtype
-        )
-        # [S,N,C] = [N,C,C] @ [S,N,C]
-        corr = jnp.einsum("ncd,snd->snc", chol, eps)
-        return self.mean[None] + corr
+
+        rows = jnp.arange(sl.start, sl.stop)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(rows)
+        eps = jax.vmap(
+            lambda k: jax.random.normal(k, (num_samples, C), dtype=mean.dtype)
+        )(keys)                                          # [n, S, C]
+        corr = jnp.einsum("ncd,nsd->nsc", chol, eps)     # [n, S, C]
+        return mean[:, None] + corr
+
+    def _fullcov_chunks(self, chunk_size: Optional[int]):
+        """Row-chunk slices mirroring ref:bayesvlm/vlm.py:87-103
+        (chunk_size=10000): bounds the live [n,C,C] cholesky + [n,S,C]
+        sample buffers so BALD/comb_covar scoring runs at reference pool
+        sizes without materializing [N,C,C]-scale intermediates at once."""
+        N = len(self)
+        if chunk_size is None or chunk_size >= N:
+            return [slice(0, N)]
+        return [slice(i, min(i + chunk_size, N)) for i in range(0, N, chunk_size)]
 
     def softmax(
         self,
         axis: int = -1,
         num_samples: int = 400,
         seed: Union[int, Array, None] = None,
+        chunk_size: Optional[int] = 10_000,
     ) -> Array:
         """Expected softmax probabilities.
 
         num_samples == 0 -> multiclass probit approximation;
-        otherwise Monte-Carlo average of softmax samples
-        (ref:bayesvlm/vlm.py:68-103).
+        otherwise Monte-Carlo average of softmax samples, row-chunked in
+        the full-covariance case (ref:bayesvlm/vlm.py:68-103).
         """
         if num_samples == 0:
             return self.probit_softmax(axis=axis)
         key = _as_key(seed)
-        logits = self._sample_logits(key, num_samples)
-        return jnp.mean(jax.nn.softmax(logits, axis=axis), axis=0)
+        if self.var.ndim == self.mean.ndim:
+            logits = self._sample_logits(key, num_samples)
+            return jnp.mean(jax.nn.softmax(logits, axis=axis), axis=0)
+        return jnp.concatenate([
+            jnp.mean(
+                jax.nn.softmax(
+                    self._fullcov_logits_chunk(sl, key, num_samples), axis=-1
+                ),
+                axis=1,
+            )
+            for sl in self._fullcov_chunks(chunk_size)
+        ], axis=0)
 
     def sample_probas(
-        self, num_samples: int, seed: Union[int, Array, None] = None
+        self,
+        num_samples: int,
+        seed: Union[int, Array, None] = None,
+        chunk_size: Optional[int] = 10_000,
     ) -> Array:
-        """[N, S, C] softmax probability samples (ref:bayesvlm/vlm.py:105-139)."""
+        """[N, S, C] softmax probability samples (ref:bayesvlm/vlm.py:105-139,
+        row-chunked like the reference in the full-covariance case)."""
         key = _as_key(seed)
-        logits = self._sample_logits(key, num_samples)  # [S, N, C]
-        probs = jax.nn.softmax(logits, axis=-1)
-        return jnp.swapaxes(probs, 0, 1)  # [N, S, C]
+        if self.var.ndim == self.mean.ndim:
+            logits = self._sample_logits(key, num_samples)  # [S, N, C]
+            return jnp.swapaxes(jax.nn.softmax(logits, axis=-1), 0, 1)
+        return jnp.concatenate([
+            jax.nn.softmax(self._fullcov_logits_chunk(sl, key, num_samples), axis=-1)
+            for sl in self._fullcov_chunks(chunk_size)
+        ], axis=0)
 
     def expected_aleatoric_entropy(
         self,
         num_samples: int = 400,
         axis: int = -1,
         seed: Union[int, Array, None] = None,
+        chunk_size: Optional[int] = 10_000,
     ) -> Array:
         """E_theta[H[p(y|x,theta)]] via MC (ref:bayesvlm/vlm.py:142-158)."""
         key = _as_key(seed)
-        logits = self._sample_logits(key, num_samples)  # [S, N, C]
-        logp = jax.nn.log_softmax(logits, axis=axis)
-        probs = jnp.exp(logp)
-        ent = -jnp.sum(probs * logp, axis=axis)  # [S, N]
-        return jnp.mean(ent, axis=0)
+
+        def _ent(logits, sample_axis):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+            return jnp.mean(ent, axis=sample_axis)
+
+        if self.var.ndim == self.mean.ndim:
+            return _ent(self._sample_logits(key, num_samples), 0)
+        return jnp.concatenate([
+            _ent(self._fullcov_logits_chunk(sl, key, num_samples), 1)
+            for sl in self._fullcov_chunks(chunk_size)
+        ], axis=0)
 
     def cross_entropy(
         self,
@@ -235,6 +286,7 @@ class ProbabilisticLogits:
         num_samples: int = 400,
         reduction: str = "sum",
         seed: Union[int, Array, None] = None,
+        chunk_size: Optional[int] = 10_000,
     ) -> Array:
         """CE under the logit distribution (ref:bayesvlm/vlm.py:177-198).
 
@@ -245,12 +297,24 @@ class ProbabilisticLogits:
         if num_samples == 0:
             logits = probit_scaled_mean(self.mean, self.var)
             losses = _softmax_ce(logits, target)
-        else:
+        elif self.var.ndim == self.mean.ndim:
             key = _as_key(seed)
             sampled = self._sample_logits(key, num_samples)  # [S, N, C]
             losses = jnp.mean(
                 jax.vmap(lambda lg: _softmax_ce(lg, target))(sampled), axis=0
             )
+        else:
+            key = _as_key(seed)
+            losses = jnp.concatenate([
+                jnp.mean(
+                    _softmax_ce(
+                        self._fullcov_logits_chunk(sl, key, num_samples),
+                        target[sl, None],
+                    ),
+                    axis=1,
+                )
+                for sl in self._fullcov_chunks(chunk_size)
+            ], axis=0)
         if reduction == "sum":
             return jnp.sum(losses)
         if reduction == "mean":
