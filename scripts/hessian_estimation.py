@@ -47,7 +47,7 @@ def main(
     from bayesvlm_tpu.data.factory import DataModuleFactory
     from bayesvlm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
     from bayesvlm_tpu.data.transforms import get_transform
-    from bayesvlm_tpu.dist.mesh import default_mesh
+    from bayesvlm_tpu.dist.init import initialize_distributed
     from bayesvlm_tpu.inference.precompute import compute_features
     from bayesvlm_tpu.io.artifacts import save_hessians, save_prior_precision
     from bayesvlm_tpu.io.torch_compat import load_pt_array, save_pt_array
@@ -56,6 +56,11 @@ def main(
     from bayesvlm_tpu.utils import get_image_size, get_likelihood_for_model
 
     os.makedirs(hessian_dir, exist_ok=True)
+    # Multi-host: no-op single host; with a coordinator address set it
+    # initializes jax.distributed and exposes the global data mesh + the
+    # host's rank for input sharding (SURVEY §5; no reference counterpart).
+    ctx = initialize_distributed() if use_mesh else None
+    multi_host = ctx is not None and ctx.num_hosts > 1
     config = CONFIGS_BY_NAME[model_str]
     likelihood = get_likelihood_for_model(model_str)
     transform = get_transform(config.family, get_image_size(model_str))
@@ -82,13 +87,23 @@ def main(
         print(f"Reducing number of files from {len(dm.data_path)} to {num_files}")
         dm.data_path = dm.data_path[:num_files]
     dm.setup()
+    if multi_host and hasattr(dm, "shard_for_host"):
+        # per-host webdataset tar assignment (mirrors the num_files slicing
+        # contract at ref:hessian_estimation.py:152-154, split over hosts)
+        dm.shard_for_host(ctx.host_id, ctx.num_hosts)
+        print(f"[dist] host {ctx.host_id}/{ctx.num_hosts} takes "
+              f"{len(dm.dataset.tar_paths)} tar shards")
     loader = dm.test_dataloader()
 
+    # multi-host: each host caches features for ITS data shard
+    host_tag = f"_host{ctx.host_id}" if multi_host else ""
     path_act_img, path_emb_img = compute_features(
-        image_encoder, loader, tag="img", cache_dir=hessian_dir, modality="image"
+        image_encoder, loader, tag="img" + host_tag, cache_dir=hessian_dir,
+        modality="image"
     )
     path_act_txt, path_emb_txt = compute_features(
-        text_encoder, loader, tag="txt", cache_dir=hessian_dir, modality="text"
+        text_encoder, loader, tag="txt" + host_tag, cache_dir=hessian_dir,
+        modality="text"
     )
 
     print("Loading embeddings and activations...")
@@ -103,9 +118,30 @@ def main(
         activations_txt = activations_txt[:max_datapoints]
         embeddings_txt = embeddings_txt[:max_datapoints]
 
-    mesh = default_mesh() if use_mesh else None
+    mesh = ctx.mesh if ctx is not None else None
     scale = head.logit_scale
     bias = head.logit_bias
+
+    def _global_factors(A, B, n_local):
+        """Sum per-host partial factors over hosts and renormalize:
+        kfac_ggn returns sums/sqrt(n_local); the global convention is
+        sum_h (sums_h) / sqrt(sum_h n_h) (ref:hessian_estimation.py:106-109
+        applied to the global pair count)."""
+        if not multi_host:
+            return A, B
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        root = np.sqrt(np.float64(n_local)).astype(np.float32)
+        stacked = multihost_utils.process_allgather(
+            (jnp.asarray(A * root), jnp.asarray(B * root), jnp.asarray(root**2))
+        )
+        A_all, B_all, n_all = (np.asarray(x) for x in stacked)
+        n_global = float(n_all.sum())
+        return (
+            (A_all.sum(0) / np.sqrt(n_global)).astype(np.float32),
+            (B_all.sum(0) / np.sqrt(n_global)).astype(np.float32),
+        )
 
     A_img_path = Path(hessian_dir) / "A_img_analytic.pt"
     B_img_path = Path(hessian_dir) / "B_img_analytic.pt"
@@ -120,7 +156,10 @@ def main(
             likelihood, block_size=la_batch_size,
             chunk_size_j=siglip_chunk_size_j, mesh=mesh, progress=True,
         )
-        save_hessians(hessian_dir, A_img, B_img, "img")
+        n_local = (len(embeddings_img) // la_num_classes) * la_num_classes
+        A_img, B_img = _global_factors(A_img, B_img, n_local)
+        if ctx is None or ctx.is_primary:
+            save_hessians(hessian_dir, A_img, B_img, "img")
 
     A_txt_path = Path(hessian_dir) / "A_txt_analytic.pt"
     B_txt_path = Path(hessian_dir) / "B_txt_analytic.pt"
@@ -135,7 +174,10 @@ def main(
             likelihood, block_size=la_batch_size,
             chunk_size_j=siglip_chunk_size_j, mesh=mesh, progress=True,
         )
-        save_hessians(hessian_dir, A_txt, B_txt, "txt")
+        n_local = (len(embeddings_txt) // la_num_classes) * la_num_classes
+        A_txt, B_txt = _global_factors(A_txt, B_txt, n_local)
+        if ctx is None or ctx.is_primary:
+            save_hessians(hessian_dir, A_txt, B_txt, "txt")
 
     print("Optimizing prior precision for image encoder...")
     lambda_img = float(
@@ -153,7 +195,10 @@ def main(
             lr=lr, num_steps=num_steps,
         )
     )
-    save_prior_precision(hessian_dir, lambda_img, n_init_img, lambda_txt, n_init_txt)
+    if ctx is None or ctx.is_primary:
+        save_prior_precision(
+            hessian_dir, lambda_img, n_init_img, lambda_txt, n_init_txt
+        )
     print(json.dumps({"lambda_img": lambda_img, "lambda_txt": lambda_txt}))
 
 
