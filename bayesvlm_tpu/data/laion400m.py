@@ -7,7 +7,12 @@ from __future__ import annotations
 from pathlib import Path
 
 from bayesvlm_tpu.data.base import DataModule
-from bayesvlm_tpu.data.wds import IterableLoader, WebDataset, decode_image
+from bayesvlm_tpu.data.wds import (
+    IterableLoader,
+    NativeDecodeLoader,
+    WebDataset,
+    decode_image,
+)
 
 
 class Laion400mDataModule(DataModule):
@@ -45,7 +50,51 @@ class Laion400mDataModule(DataModule):
         """Per-host tar assignment for multi-host runs (SURVEY §5)."""
         self.dataset = self.dataset.shard_slice(host_id, num_hosts)
 
+    def enable_native_decode(
+        self, image_size: int, family: str = "clip", num_threads: int = 8
+    ):
+        """Opt into the native (C++) batched JPEG decode lane.
+
+        Bilinear resampling (PIL bicubic remains the default pipeline);
+        the measured embedding delta is recorded in BASELINE.md. Raises
+        if native/libbvt_io.so is not built.
+        """
+        from bayesvlm_tpu.data import native_io
+        from bayesvlm_tpu.data.transforms import (
+            DEFAULT_MEAN,
+            DEFAULT_STD,
+            IMAGENET_STANDARD_MEAN,
+            IMAGENET_STANDARD_STD,
+        )
+
+        if not native_io.available():
+            raise RuntimeError(
+                "native decode requested but native/libbvt_io.so is not "
+                "built (run `make -C native`)"
+            )
+        if family == "siglip":
+            params = dict(mean=IMAGENET_STANDARD_MEAN,
+                          std=IMAGENET_STANDARD_STD, square_resize=True)
+        else:
+            params = dict(mean=DEFAULT_MEAN, std=DEFAULT_STD,
+                          square_resize=False)
+        self._native_decode = dict(
+            image_size=image_size, num_threads=num_threads, **params
+        )
+
     def train_dataloader(self):
+        native = getattr(self, "_native_decode", None)
+        if native is not None:
+            raw = WebDataset(
+                self.dataset.tar_paths,
+                shuffle_buffer=self.dataset.shuffle_buffer,
+                seed=self.dataset.seed,
+                map_fn=None,
+                use_native=self.dataset.use_native,
+            )
+            return NativeDecodeLoader(
+                raw, self.batch_size, drop_last=True, **native
+            )
         return IterableLoader(self.dataset, self.batch_size, drop_last=True)
 
     def val_dataloader(self):

@@ -186,5 +186,85 @@ class IterableLoader:
             yield self.collate_fn(batch)
 
 
+class NativeDecodeLoader:
+    """Batched iteration with the native (C++) JPEG decode lane.
+
+    Consumes RAW samples (map_fn=None WebDataset), groups `batch_size`
+    jpg members, and decodes+resizes+normalizes them in one multithreaded
+    native call (native/bvt_io.cc) straight into a float32 NHWC batch.
+
+    EXPLICIT OPT-IN: the native resampler is bilinear, not the reference's
+    bicubic (measured embedding delta recorded in BASELINE.md); PIL remains
+    the default everywhere. Samples whose decode fails are dropped with a
+    warning (warn_and_continue semantics, ref:laion400m.py:68,74), so a
+    batch may come up short.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        image_size: int,
+        mean: Sequence[float],
+        std: Sequence[float],
+        square_resize: bool = False,
+        drop_last: bool = True,
+        num_threads: int = 8,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.mean = tuple(mean)
+        self.std = tuple(std)
+        self.square_resize = square_resize
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+
+    def _emit(self, samples):
+        from bayesvlm_tpu.data import native_io
+
+        imgs, status = native_io.decode_batch(
+            [s["jpg"] for s in samples],
+            self.image_size, self.mean, self.std,
+            square_resize=self.square_resize, num_threads=self.num_threads,
+        )
+        keep = status == 0
+        for s, st in zip(samples, status):
+            if st != 0:
+                warnings.warn(
+                    f"skipping sample {s.get('__key__')}: native decode "
+                    f"failed (status {int(st)})"
+                )
+        kept = [s for s, k in zip(samples, keep) if k]
+        if not kept:
+            return None
+        out = {"image": imgs[keep]}
+        if "txt" in kept[0]:
+            out["text"] = [s["txt"].decode("utf-8") for s in kept]
+        out["image_id"] = np.asarray([int(s["__key__"]) for s in kept])
+        if "cls" in kept[0]:
+            out["class_id"] = np.asarray([int(s["cls"]) for s in kept])
+        return out
+
+    def __iter__(self):
+        batch: List[Dict] = []
+        for sample in self.dataset:
+            if "jpg" not in sample:
+                warnings.warn(
+                    f"skipping sample {sample.get('__key__')}: no jpg member"
+                )
+                continue
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                out = self._emit(batch)
+                if out is not None:
+                    yield out
+                batch = []
+        if batch and not self.drop_last:
+            out = self._emit(batch)
+            if out is not None:
+                yield out
+
+
 def decode_image(data: bytes) -> Image.Image:
     return Image.open(io.BytesIO(data))

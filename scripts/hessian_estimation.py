@@ -41,6 +41,7 @@ def main(
     weights_dir=None,
     tokenizer_dir=None,
     use_mesh: bool = True,
+    native_decode: bool = False,
 ):
     from bayesvlm_tpu.bayes.estimation import kfac_ggn
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
@@ -87,6 +88,15 @@ def main(
         print(f"Reducing number of files from {len(dm.data_path)} to {num_files}")
         dm.data_path = dm.data_path[:num_files]
     dm.setup()
+    if native_decode:
+        if not hasattr(dm, "enable_native_decode"):
+            raise ValueError(f"--native_decode not supported for {dataset}")
+        dm.enable_native_decode(
+            get_image_size(model_str), family=config.family,
+            num_threads=num_workers,
+        )
+        print("[native] batched C++ JPEG decode lane enabled "
+              "(bilinear; see BASELINE.md for the measured delta)")
     if multi_host and hasattr(dm, "shard_for_host"):
         # per-host webdataset tar assignment (mirrors the num_files slicing
         # contract at ref:hessian_estimation.py:152-154, split over hosts)
@@ -234,6 +244,10 @@ if __name__ == "__main__":
                         help="local HF snapshot dir with converted weights")
     parser.add_argument("--tokenizer_dir", type=str, default=None)
     parser.add_argument("--no_mesh", action="store_true")
+    parser.add_argument(
+        "--native_decode", action="store_true",
+        help="opt into the native C++ batched JPEG decode lane (bilinear "
+        "resampling vs the default PIL bicubic; delta in BASELINE.md)")
     args = parser.parse_args()
 
     if getattr(args, "device", None):
@@ -261,4 +275,5 @@ if __name__ == "__main__":
         weights_dir=args.weights_dir,
         tokenizer_dir=args.tokenizer_dir,
         use_mesh=not args.no_mesh,
+        native_decode=args.native_decode,
     )
