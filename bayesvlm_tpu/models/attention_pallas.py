@@ -1,0 +1,85 @@
+"""Fused multi-head attention kernel (Pallas/Mosaic, TPU).
+
+Why: at ViT-L shapes (T=257, H=16, Dh=64, B=64) the XLA path writes the
+[B, H, T, T] score tensor to HBM between the qk GEMM, the softmax fusion,
+and the pv GEMM — ~540 MB of traffic per layer at B=64, ~40% of total
+attention time (measured breakdown in BASELINE.md). This kernel keeps one
+batch row's q/k/v (3 x [T, H*Dh] bf16 ~ 1.6 MB) in VMEM and runs all
+16 heads' qk -> fp32 softmax -> pv without materializing scores off-chip.
+
+Layout: inputs stay in the Dense-output layout [B, T, H*Dh] — heads are
+lane slices, so no transposes are introduced on either side.
+
+Numerics: fp32 score accumulation (preferred_element_type) and fp32
+softmax — the same precision contract as the default einsum path with
+softmax_fp32=True. Non-causal only (the vision towers); the text towers
+(T<=77, tiny batches) keep the einsum path.
+
+No reference counterpart (the reference is torch single-device); this is
+the SURVEY §7 step-8 fusion target, moved from the Smith head (already
+XLA-fused well) to attention where the measured headroom is.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, head_dim: int,
+                scale: float):
+    q = q_ref[0]                      # [T, H*Dh] bf16
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                     # [T, T] fp32
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(q.dtype), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    num_heads: int) -> jax.Array:
+    """Non-causal MHA: q, k, v [B, T, H*Dh] (packed heads) -> [B, T, H*Dh].
+
+    Equivalent to the einsum path with fp32 softmax; scores never leave
+    VMEM.
+    """
+    B, T, D = q.shape
+    head_dim = D // num_heads
+    kernel = functools.partial(
+        _mha_kernel, num_heads=num_heads, head_dim=head_dim,
+        scale=1.0 / (head_dim ** 0.5),
+    )
+    spec = pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * T * T * head_dim,
+            bytes_accessed=4 * B * T * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * T * T,
+        ),
+        # CPU (tests, virtual meshes): run the kernel in interpret mode
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v)

@@ -78,6 +78,8 @@ class CLIPVisionTower(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=self.dtype,
             remat=self.remat,
+            softmax_fp32=cfg.attn_softmax_fp32,
+            attn_pallas=cfg.attn_pallas,
             name="encoder",
         )(h)
 
@@ -131,6 +133,8 @@ class CLIPTextTower(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=self.dtype,
             remat=self.remat,
+            softmax_fp32=cfg.attn_softmax_fp32,
+            attn_pallas=cfg.attn_pallas,
             name="encoder",
         )(h, mask)
 

@@ -30,6 +30,12 @@ class VisionConfig:
     hidden_act: str = "gelu"
     layer_norm_eps: float = 1e-5
     use_class_token: bool = True       # CLIP: CLS token; SigLIP: none
+    # fp32 attention softmax (parity default). False = softmax in the
+    # compute dtype (~neutral on ViT-L at B=64; delta in BASELINE.md).
+    attn_softmax_fp32: bool = True
+    # fused Pallas attention (production fast path on TPU; interpret-mode
+    # on CPU). Non-causal towers only.
+    attn_pallas: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -57,6 +63,9 @@ class TextConfig:
     layer_norm_eps: float = 1e-5
     causal: bool = True                # CLIP: causal; SigLIP: bidirectional
     eos_token_id: int = 49407
+    attn_softmax_fp32: bool = True     # see VisionConfig
+    attn_pallas: bool = False          # see VisionConfig (causal CLIP text
+                                       # falls back to einsum regardless)
 
     @property
     def head_dim(self) -> int:

@@ -42,6 +42,14 @@ class MultiHeadAttention(nn.Module):
     # the plain einsum pair for these short sequences (T<=257) on v5e, so
     # off by default; flip for long-sequence experiments.
     use_fused: bool = False
+    # fp32 attention softmax (numerics parity with the fp32 reference
+    # towers). False = softmax in the compute dtype (measured ~neutral on
+    # ViT-L at B=64; calibration delta in BASELINE.md).
+    softmax_fp32: bool = True
+    # Fused Pallas/Mosaic attention (scores stay in VMEM): measured
+    # 2.39 -> 1.74 ms/layer at ViT-L B=64 (BASELINE.md). fp32 softmax
+    # inside; non-causal paths only (mask falls back to einsum).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -62,6 +70,12 @@ class MultiHeadAttention(nn.Module):
         k = dense("k_proj")(keys_values)
         v = dense("v_proj")(keys_values)
 
+        if self.use_pallas and mask is None:
+            from bayesvlm_tpu.models.attention_pallas import fused_attention
+
+            out = fused_attention(q, k, v, self.num_heads)
+            return dense("out_proj")(out)
+
         B, Tq, _ = q.shape
         Tk = k.shape[1]
         q = q.reshape(B, Tq, H, Dh)
@@ -77,9 +91,10 @@ class MultiHeadAttention(nn.Module):
             )
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(Dh).astype(q.dtype)
-            scores = scores.astype(jnp.float32)
+            if self.softmax_fp32:
+                scores = scores.astype(jnp.float32)
             if mask is not None:
-                scores = scores + mask[None, None, :, :]
+                scores = scores + mask[None, None, :, :].astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, Tq, self.hidden_size)
@@ -130,6 +145,8 @@ class TransformerBlock(nn.Module):
     hidden_act: str
     layer_norm_eps: float
     dtype: jnp.dtype = jnp.float32
+    softmax_fp32: bool = True
+    attn_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -138,6 +155,8 @@ class TransformerBlock(nn.Module):
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
             dtype=self.dtype,
+            softmax_fp32=self.softmax_fp32,
+            use_pallas=self.attn_pallas,
             name="self_attn",
         )(h, mask=mask)
         h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
@@ -160,6 +179,8 @@ class _ScanBlock(nn.Module):
     hidden_act: str
     layer_norm_eps: float
     dtype: jnp.dtype = jnp.float32
+    softmax_fp32: bool = True
+    attn_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array]):
@@ -170,6 +191,8 @@ class _ScanBlock(nn.Module):
             hidden_act=self.hidden_act,
             layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype,
+            softmax_fp32=self.softmax_fp32,
+            attn_pallas=self.attn_pallas,
             name="block",
         )(x, mask)
         return x, None
@@ -194,6 +217,8 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    softmax_fp32: bool = True
+    attn_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -218,6 +243,8 @@ class TransformerEncoder(nn.Module):
             hidden_act=self.hidden_act,
             layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype,
+            softmax_fp32=self.softmax_fp32,
+            attn_pallas=self.attn_pallas,
             name="layers",
         )
         x, _ = scanned(x, mask)

@@ -78,6 +78,8 @@ class SiglipVisionTower(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=self.dtype,
             remat=self.remat,
+            softmax_fp32=cfg.attn_softmax_fp32,
+            attn_pallas=cfg.attn_pallas,
             name="encoder",
         )(h)
         h = LayerNormFP32(
@@ -148,6 +150,8 @@ class SiglipTextTower(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=self.dtype,
             remat=self.remat,
+            softmax_fp32=cfg.attn_softmax_fp32,
+            attn_pallas=cfg.attn_pallas,
             name="encoder",
         )(h, None)  # bidirectional
 

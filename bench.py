@@ -84,11 +84,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    import dataclasses
+
     from bayesvlm_tpu.models.clip import CLIPVisionTower
     from bayesvlm_tpu.models.configs import CLIP_L14_CONFIG as cfg
     from bayesvlm_tpu.probforward.smith import _smith_forward
 
-    module = CLIPVisionTower(cfg.vision, dtype=jnp.bfloat16)
+    # production fast path: fused Pallas attention (scores stay in VMEM);
+    # measured 841.8 vs 723.3 img/s at B=64 (round 2), 0 argmax flips,
+    # ECE delta 3e-4 (BASELINE.md)
+    vision_cfg = dataclasses.replace(cfg.vision, attn_pallas=True)
+    module = CLIPVisionTower(vision_cfg, dtype=jnp.bfloat16)
 
     # host-side random init via eval_shape (skips the on-device init
     # compile, which dominates startup on this host)

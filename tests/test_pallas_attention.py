@@ -1,0 +1,51 @@
+"""Fused Pallas attention parity (interpret mode on CPU; the same kernel
+runs compiled on TPU — hardware numbers in BASELINE.md)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesvlm_tpu.models import load_model
+from bayesvlm_tpu.models.attention_pallas import fused_attention
+from bayesvlm_tpu.models.clip import CLIPVisionTower
+from bayesvlm_tpu.models.configs import TINY_CLIP_CONFIG
+
+
+def _ref_attn(q, k, v, H):
+    B, T, D = q.shape
+    Dh = D // H
+    qh = q.reshape(B, T, H, Dh)
+    kh = k.reshape(B, T, H, Dh)
+    vh = v.reshape(B, T, H, Dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(Dh).astype(q.dtype)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+    return o.reshape(B, T, D)
+
+
+def test_fused_attention_matches_einsum_fp32():
+    rng = np.random.default_rng(0)
+    B, T, H, Dh = 3, 29, 4, 8  # odd T exercises unaligned tiles
+    q = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+    ref = np.asarray(_ref_attn(q, k, v, H))
+    out = np.asarray(fused_attention(q, k, v, H))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_tower_with_pallas_attention_matches_default():
+    img, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0)
+    vcfg = dataclasses.replace(TINY_CLIP_CONFIG.vision, attn_pallas=True)
+    tower_p = CLIPVisionTower(vcfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    e_ref, a_ref = img.module.apply({"params": img.params}, x)
+    e_p, a_p = tower_p.apply({"params": img.params}, x)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_ref),
+                               rtol=1e-5, atol=1e-5)
