@@ -166,6 +166,16 @@ class TextEncoder(_EncoderBase):
 
 
 def _make_towers(config: VLMConfig, dtype, remat: bool):
+    # Production fast path: on a real TPU backend, run the vision tower's
+    # attention through the fused Pallas kernel (scores stay in VMEM;
+    # measured +17% ViT-L throughput, 0 argmax flips — BASELINE.md). CPU
+    # backends keep the einsum path (the kernel would run interpreted).
+    if not config.vision.attn_pallas and jax.default_backend() == "tpu":
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, vision=dataclasses.replace(config.vision, attn_pallas=True)
+        )
     if config.family == "clip":
         return (
             CLIPVisionTower(config.vision, dtype=dtype, remat=remat),
