@@ -41,6 +41,7 @@ def kfac_ggn(
     likelihood: str,
     block_size: int = 2048,
     chunk_size_j: Optional[int] = None,
+    precision: str = "highest",
     mesh=None,
     progress: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -51,6 +52,8 @@ def kfac_ggn(
     here; the reference's default of 5 bounds its [B, D, D] intermediates,
     ours bounds the [block, C] logits buffer — results are invariant).
     `chunk_size_j` chunks the SigLIP target axis (--siglip_chunk_size).
+    `precision`: 'highest' (fp32 GEMMs, default) or 'high' (bf16x3, 1.6x
+    faster, 1.7e-5 max rel error vs fp64 — BASELINE.md round 2).
     """
     source_embeds = np.asarray(source_embeds, np.float32)
     source_activations = np.asarray(source_activations, np.float32)
@@ -85,7 +88,10 @@ def kfac_ggn(
             if use_mesh:
                 H = sharded_hessian_infonce(src, tgt, logit_scale, mesh)
             else:
-                H = hessian_infonce(src, tgt, logit_scale, block_size=block_size)
+                H = hessian_infonce(
+                    src, tgt, logit_scale, block_size=block_size,
+                    precision=precision,
+                )
             B = B + np.asarray(H, np.float64)
             if use_mesh:
                 G = sharded_activation_gram(act, mesh)
@@ -100,6 +106,7 @@ def kfac_ggn(
                 H = hessian_siglip(
                     src, indices, tgt, logit_scale, logit_bias,
                     block_size=block_size, chunk_size_j=chunk_size_j,
+                    precision=precision,
                 )
             B = B + np.asarray(H, np.float64)
             if use_mesh:

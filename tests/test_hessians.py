@@ -167,3 +167,24 @@ def test_siglip_chunk_j_invariance():
         hessian_siglip(x, idx, y, scale, bias, block_size=5, chunk_size_j=4)
     )
     np.testing.assert_allclose(both, full, rtol=1e-4, atol=1e-5)
+
+
+def test_infonce_precision_high_close_to_highest():
+    """precision='high' (bf16x3) must stay within the measured error
+    envelope of the fp32 path (BASELINE.md: 1.7e-5 max rel vs fp64 at
+    C=32768; small problems are tighter)."""
+    import jax.numpy as jnp
+
+    from bayesvlm_tpu.bayes.hessians import hessian_infonce, hessian_siglip
+
+    rng = np.random.default_rng(5)
+    src = rng.normal(size=(64, 16)).astype(np.float32)
+    tgt = rng.normal(size=(64, 16)).astype(np.float32)
+    hi = np.asarray(hessian_infonce(src, tgt, 2.0))
+    h = np.asarray(hessian_infonce(src, tgt, 2.0, precision="high"))
+    assert np.abs(h - hi).max() / np.abs(hi).max() < 1e-3
+
+    idx = rng.integers(0, 64, size=64).astype(np.int32)
+    hi = np.asarray(hessian_siglip(src, idx, tgt, 2.0, -0.5))
+    h = np.asarray(hessian_siglip(src, idx, tgt, 2.0, -0.5, precision="high"))
+    assert np.abs(h - hi).max() / np.abs(hi).max() < 1e-3
