@@ -37,6 +37,40 @@ class DistContext:
         return self.host_id == 0
 
 
+def allreduce_factors(A, B, n_local: float, num_hosts: int = None,
+                      _allgather=None):
+    """Combine per-host K-FAC partial factors into the global convention.
+
+    kfac_ggn returns per-host sums divided by sqrt(n_local); the global
+    factors are sum_h sums_h / sqrt(sum_h n_h)
+    (ref:hessian_estimation.py:106-109 applied to the global pair count).
+    No-op on a single host. `_allgather` is injectable for tests; the
+    default is jax.experimental.multihost_utils.process_allgather (DCN).
+    """
+    import numpy as np
+
+    if num_hosts is None:
+        num_hosts = jax.process_count()
+    if num_hosts <= 1:
+        return A, B
+    if _allgather is None:
+        from jax.experimental.multihost_utils import process_allgather
+
+        _allgather = process_allgather
+    import jax.numpy as jnp
+
+    root = np.sqrt(np.float64(n_local)).astype(np.float32)
+    stacked = _allgather(
+        (jnp.asarray(A * root), jnp.asarray(B * root), jnp.asarray(root**2))
+    )
+    A_all, B_all, n_all = (np.asarray(x) for x in stacked)
+    n_global = float(n_all.sum())
+    return (
+        (A_all.sum(0) / np.sqrt(n_global)).astype(np.float32),
+        (B_all.sum(0) / np.sqrt(n_global)).astype(np.float32),
+    )
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

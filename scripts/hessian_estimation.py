@@ -134,24 +134,10 @@ def main(
     bias = head.logit_bias
 
     def _global_factors(A, B, n_local):
-        """Sum per-host partial factors over hosts and renormalize:
-        kfac_ggn returns sums/sqrt(n_local); the global convention is
-        sum_h (sums_h) / sqrt(sum_h n_h) (ref:hessian_estimation.py:106-109
-        applied to the global pair count)."""
-        if not multi_host:
-            return A, B
-        import jax.numpy as jnp
-        from jax.experimental import multihost_utils
+        from bayesvlm_tpu.dist.init import allreduce_factors
 
-        root = np.sqrt(np.float64(n_local)).astype(np.float32)
-        stacked = multihost_utils.process_allgather(
-            (jnp.asarray(A * root), jnp.asarray(B * root), jnp.asarray(root**2))
-        )
-        A_all, B_all, n_all = (np.asarray(x) for x in stacked)
-        n_global = float(n_all.sum())
-        return (
-            (A_all.sum(0) / np.sqrt(n_global)).astype(np.float32),
-            (B_all.sum(0) / np.sqrt(n_global)).astype(np.float32),
+        return allreduce_factors(
+            A, B, n_local, num_hosts=ctx.num_hosts if multi_host else 1
         )
 
     A_img_path = Path(hessian_dir) / "A_img_analytic.pt"

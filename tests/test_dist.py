@@ -50,3 +50,51 @@ def test_sharded_gram_matches_single(mesh, bias):
     single = np.asarray(activation_gram(a, append_bias_column=bias))
     sharded = np.asarray(sharded_activation_gram(a, mesh, append_bias_column=bias))
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+def test_allreduce_factors_global_normalization():
+    """Multi-host factor reduction math: sum_h (A_h * sqrt(n_h)) /
+    sqrt(sum n_h), with a fake allgather standing in for DCN."""
+    import numpy as np
+
+    from bayesvlm_tpu.dist.init import allreduce_factors
+
+    rng = np.random.default_rng(0)
+    D = 6
+    # per-host RAW sums (before any sqrt(n) division)
+    raw = [rng.normal(size=(2, D, D)).astype(np.float32) for _ in range(3)]
+    ns = [32.0, 48.0, 16.0]
+    # what kfac_ggn hands each host: raw / sqrt(n_local)
+    per_host = [(r[0] / np.sqrt(n), r[1] / np.sqrt(n)) for r, n in zip(raw, ns)]
+
+    host_payloads = []
+
+    def fake_allgather(tree):
+        host_payloads.append(tree)
+        # emulate: every host contributes its own payload
+        import jax.numpy as jnp
+
+        stacked = []
+        for i in range(len(tree)):
+            stacked.append(jnp.stack([jnp.asarray(p[i]) for p in all_payloads]))
+        return tuple(stacked)
+
+    # build each host's payload the way allreduce_factors does internally
+    all_payloads = []
+    for (A_h, B_h), n in zip(per_host, ns):
+        root = np.sqrt(np.float64(n)).astype(np.float32)
+        all_payloads.append((A_h * root, B_h * root, np.float32(root**2)))
+
+    A0, B0 = per_host[0]
+    A_g, B_g = allreduce_factors(A0, B0, ns[0], num_hosts=3,
+                                 _allgather=fake_allgather)
+
+    n_total = sum(ns)
+    exp_A = sum(r[0] for r in raw) / np.sqrt(n_total)
+    exp_B = sum(r[1] for r in raw) / np.sqrt(n_total)
+    np.testing.assert_allclose(A_g, exp_A, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(B_g, exp_B, rtol=1e-5, atol=1e-6)
+
+    # single host: exact no-op
+    A1, B1 = allreduce_factors(A0, B0, ns[0], num_hosts=1)
+    np.testing.assert_array_equal(A1, A0)
