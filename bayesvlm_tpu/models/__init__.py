@@ -15,6 +15,7 @@ from bayesvlm_tpu.models.siglip import SiglipVisionTower, SiglipTextTower
 from bayesvlm_tpu.models.encoders import (
     ImageEncoder,
     TextEncoder,
+    cast_gemm_params,
     load_model,
 )
 
@@ -35,5 +36,6 @@ __all__ = [
     "SiglipTextTower",
     "ImageEncoder",
     "TextEncoder",
+    "cast_gemm_params",
     "load_model",
 ]

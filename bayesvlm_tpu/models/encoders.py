@@ -165,6 +165,26 @@ class TextEncoder(_EncoderBase):
         return self(jnp.asarray(ids, jnp.int32))
 
 
+_GEMM_MODULES = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
+
+
+def cast_gemm_params(params, dtype=jnp.bfloat16):
+    """Pre-cast the big GEMM weights (attention projections + MLP) to the
+    compute dtype so the convert doesn't run on-device every forward
+    (measured ~2.9 ms/batch of pure convert ops at ViT-L B=64 — trace in
+    BASELINE.md round 2). LayerNorm/embedding/projection params stay fp32
+    (the fp32-LN numerics contract is preserved: casting the GEMM weight
+    produces bit-identical values to XLA's per-call convert)."""
+
+    def _cast(path, leaf):
+        names = {getattr(k, "key", None) for k in path}
+        if names & set(_GEMM_MODULES):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(_cast, params)
+
+
 def _make_towers(config: VLMConfig, dtype, remat: bool):
     # Production fast path: on a real TPU backend, run the vision tower's
     # attention through the fused Pallas kernel (scores stay in VMEM;

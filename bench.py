@@ -91,7 +91,7 @@ def main():
     from bayesvlm_tpu.probforward.smith import _smith_forward
 
     # production fast path: fused Pallas attention (scores stay in VMEM);
-    # measured 841.8 vs 723.3 img/s at B=64 (round 2), 0 argmax flips,
+    # measured 903.2 vs 723.3 img/s at B=64 (round 2), 0 argmax flips,
     # ECE delta 3e-4 (BASELINE.md)
     vision_cfg = dataclasses.replace(cfg.vision, attn_pallas=True)
     module = CLIPVisionTower(vision_cfg, dtype=jnp.bfloat16)
@@ -101,12 +101,18 @@ def main():
     rng_np = np.random.default_rng(0)
     dummy = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3), jnp.bfloat16)
     shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), dummy))
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+
     params = jax.tree_util.tree_map(
         lambda s: jnp.asarray(
             rng_np.normal(0.0, 0.02, s.shape).astype(np.float32), s.dtype
         ),
         shapes,
     )["params"]
+    # pre-cast GEMM weights to bf16: bit-identical numerics, halves the
+    # weight HBM footprint; throughput-neutral here (XLA overlapped the
+    # converts), kept for the memory saving
+    params = cast_gemm_params(params, jnp.bfloat16)
 
     class _Head:
         logit_scale = jnp.asarray(4.6052, jnp.float32)

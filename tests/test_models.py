@@ -125,3 +125,28 @@ def test_hf_parity_if_available(model):
     images = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
     r1, r2 = enc1[0](images), enc2[0](images)
     np.testing.assert_array_equal(np.asarray(r1.embeds), np.asarray(r2.embeds))
+
+
+def test_cast_gemm_params_bit_identical_outputs():
+    """Pre-casting GEMM weights to bf16 must be bit-identical to the
+    per-call convert under bf16 compute (same rounding, done earlier)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesvlm_tpu.models import cast_gemm_params, load_model
+    from bayesvlm_tpu.models.clip import CLIPVisionTower
+    from bayesvlm_tpu.models.configs import TINY_CLIP_CONFIG
+
+    img, _, _ = load_model("tiny-clip", dtype=jnp.bfloat16, seed=0)
+    tower = CLIPVisionTower(TINY_CLIP_CONFIG.vision, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.bfloat16)
+    e_ref, a_ref = tower.apply({"params": img.params}, x)
+    cast = cast_gemm_params(img.params)
+    # LN and embeddings must remain fp32
+    assert cast["encoder"]["layers"]["block"]["layer_norm1"]["ln"]["scale"].dtype == jnp.float32
+    assert cast["encoder"]["layers"]["block"]["mlp"]["fc1"]["kernel"].dtype == jnp.bfloat16
+    e_c, a_c = tower.apply({"params": cast}, x)
+    np.testing.assert_array_equal(np.asarray(e_c, np.float32),
+                                  np.asarray(e_ref, np.float32))
