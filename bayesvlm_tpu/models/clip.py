@@ -80,6 +80,7 @@ class CLIPVisionTower(nn.Module):
             remat=self.remat,
             softmax_fp32=cfg.attn_softmax_fp32,
             attn_pallas=cfg.attn_pallas,
+            attn_pallas_block=cfg.attn_pallas_block,
             name="encoder",
         )(h)
 
@@ -135,6 +136,7 @@ class CLIPTextTower(nn.Module):
             remat=self.remat,
             softmax_fp32=cfg.attn_softmax_fp32,
             attn_pallas=cfg.attn_pallas,
+            attn_pallas_block=cfg.attn_pallas_block,
             name="encoder",
         )(h, mask)
 

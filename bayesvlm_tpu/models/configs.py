@@ -36,6 +36,8 @@ class VisionConfig:
     # fused Pallas attention (production fast path on TPU; interpret-mode
     # on CPU). Non-causal towers only.
     attn_pallas: bool = False
+    # whole-sublayer kernel (QKV + attention + out-proj in VMEM)
+    attn_pallas_block: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -66,6 +68,7 @@ class TextConfig:
     attn_softmax_fp32: bool = True     # see VisionConfig
     attn_pallas: bool = False          # see VisionConfig (causal CLIP text
                                        # falls back to einsum regardless)
+    attn_pallas_block: bool = False    # see VisionConfig
 
     @property
     def head_dim(self) -> int:

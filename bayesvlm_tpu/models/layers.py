@@ -32,6 +32,26 @@ def get_activation(name: str) -> Callable[[Array], Array]:
     raise ValueError(f"unknown activation: {name}")
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense (same tree: kernel/bias, same
+    initializers) — lets fused kernels consume the weights without
+    running the XLA GEMM."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Standard MHA with separate q/k/v/out projections (HF layout)."""
 
@@ -50,6 +70,10 @@ class MultiHeadAttention(nn.Module):
     # 2.39 -> 1.74 ms/layer at ViT-L B=64 (BASELINE.md). fp32 softmax
     # inside; non-causal paths only (mask falls back to einsum).
     use_pallas: bool = False
+    # Whole-sublayer kernel: QKV projections + attention + out projection
+    # in one VMEM-resident program (weights pinned across the grid);
+    # implies use_pallas semantics. Non-causal self-attention only.
+    use_pallas_block: bool = False
 
     @nn.compact
     def __call__(
@@ -58,6 +82,7 @@ class MultiHeadAttention(nn.Module):
         keys_values: Optional[Array] = None,  # [B, Tk, D]; None -> self-attn
         mask: Optional[Array] = None,   # [Tq, Tk] additive causal mask
     ) -> Array:
+        self_attention = keys_values is None
         if keys_values is None:
             keys_values = queries
         H = self.num_heads
@@ -66,6 +91,22 @@ class MultiHeadAttention(nn.Module):
         dense = lambda name: nn.Dense(
             self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
+
+        if self.use_pallas_block and mask is None and self_attention:
+            from bayesvlm_tpu.models.attention_pallas import (
+                fused_attention_block,
+            )
+
+            D_in = queries.shape[-1]
+            ws = [
+                _DenseParams(self.hidden_size, D_in, name=n)()
+                for n in ("q_proj", "k_proj", "v_proj", "out_proj")
+            ]
+            flat = []
+            for w, b in ws:
+                flat += [w.astype(self.dtype), b.astype(self.dtype)]
+            return fused_attention_block(queries, *flat, num_heads=H)
+
         q = dense("q_proj")(queries)
         k = dense("k_proj")(keys_values)
         v = dense("v_proj")(keys_values)
@@ -147,6 +188,7 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     softmax_fp32: bool = True
     attn_pallas: bool = False
+    attn_pallas_block: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -157,6 +199,7 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             softmax_fp32=self.softmax_fp32,
             use_pallas=self.attn_pallas,
+            use_pallas_block=self.attn_pallas_block,
             name="self_attn",
         )(h, mask=mask)
         h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
@@ -181,6 +224,7 @@ class _ScanBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     softmax_fp32: bool = True
     attn_pallas: bool = False
+    attn_pallas_block: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array]):
@@ -193,6 +237,7 @@ class _ScanBlock(nn.Module):
             dtype=self.dtype,
             softmax_fp32=self.softmax_fp32,
             attn_pallas=self.attn_pallas,
+            attn_pallas_block=self.attn_pallas_block,
             name="block",
         )(x, mask)
         return x, None
@@ -219,6 +264,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False
     softmax_fp32: bool = True
     attn_pallas: bool = False
+    attn_pallas_block: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -245,6 +291,7 @@ class TransformerEncoder(nn.Module):
             dtype=self.dtype,
             softmax_fp32=self.softmax_fp32,
             attn_pallas=self.attn_pallas,
+            attn_pallas_block=self.attn_pallas_block,
             name="layers",
         )
         x, _ = scanned(x, mask)

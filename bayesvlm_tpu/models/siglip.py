@@ -80,6 +80,7 @@ class SiglipVisionTower(nn.Module):
             remat=self.remat,
             softmax_fp32=cfg.attn_softmax_fp32,
             attn_pallas=cfg.attn_pallas,
+            attn_pallas_block=cfg.attn_pallas_block,
             name="encoder",
         )(h)
         h = LayerNormFP32(
@@ -152,6 +153,7 @@ class SiglipTextTower(nn.Module):
             remat=self.remat,
             softmax_fp32=cfg.attn_softmax_fp32,
             attn_pallas=cfg.attn_pallas,
+            attn_pallas_block=cfg.attn_pallas_block,
             name="encoder",
         )(h, None)  # bidirectional
 
