@@ -293,3 +293,184 @@ def test_full_pipeline_h2h_bf16_calibration_delta(h2h):
     assert acc == pytest.approx(ref_acc, abs=0.05)
     assert nlpd == pytest.approx(ref_nlpd, abs=0.05)
     assert ece == pytest.approx(ref_ece, abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# SigLIP family: same full-pipeline H2H (the head-surgery fc1/fc2 split and
+# bias-column conventions are the reference's fiddliest parts; this proves
+# their composition end-to-end, not just per-encoder).
+# ---------------------------------------------------------------------------
+
+SIG_LOG_SCALE = float(np.log(15.0))
+SIG_LOGIT_BIAS = -10.0
+
+
+class _SiglipTokShim:
+    """SigLIP tokenizers emit input_ids only (no attention_mask), padded to
+    max_length (ref:bayesvlm/vlm.py:446)."""
+
+    def __init__(self, tok: HashTokenizer):
+        self._tok = tok
+
+    def __call__(self, text, padding="max_length", truncation=True,
+                 return_tensors="pt"):
+        ids = torch.tensor(np.asarray(self._tok(text)), dtype=torch.long)
+
+        class _Batch(dict):
+            def to(self, device):
+                return self
+
+        return _Batch(input_ids=ids)
+
+
+@pytest.fixture(scope="module")
+def h2h_siglip(tmp_path_factory):
+    from bayesvlm_tpu.io.artifacts import save_hessians, save_prior_precision
+    from bayesvlm_tpu.models.configs import TINY_SIGLIP_CONFIG
+    from bayesvlm_tpu.models.convert import (
+        convert_siglip_text,
+        convert_siglip_vision,
+    )
+    from flax import serialization
+
+    tmp = tmp_path_factory.mktemp("h2h_siglip")
+    torch.manual_seed(1)
+    hf_vis = transformers.SiglipVisionModel(
+        transformers.SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=IMAGE_SIZE, patch_size=8,
+            hidden_act="gelu_pytorch_tanh", layer_norm_eps=1e-6,
+        )
+    ).eval()
+    hf_txt = transformers.SiglipTextModel(
+        transformers.SiglipTextConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=16, vocab_size=64,
+            hidden_act="gelu_pytorch_tanh", layer_norm_eps=1e-6,
+        )
+    ).eval()
+
+    sd_v = {k: v.detach().numpy() for k, v in hf_vis.state_dict().items()}
+    sd_t = {k: v.detach().numpy() for k, v in hf_txt.state_dict().items()}
+    weights_dir = tmp / "weights"
+    weights_dir.mkdir()
+    (weights_dir / "vision.msgpack").write_bytes(
+        serialization.msgpack_serialize(
+            convert_siglip_vision(sd_v, TINY_SIGLIP_CONFIG.vision.num_layers)
+        )
+    )
+    (weights_dir / "text.msgpack").write_bytes(
+        serialization.msgpack_serialize(
+            convert_siglip_text(sd_t, TINY_SIGLIP_CONFIG.text.num_layers)
+        )
+    )
+    (weights_dir / "head.json").write_text(json.dumps(
+        {"logit_scale": SIG_LOG_SCALE, "logit_bias": SIG_LOGIT_BIAS}
+    ))
+
+    rng = np.random.default_rng(43)
+
+    def spd(d, scale):
+        M = rng.normal(size=(d, d)).astype(np.float32)
+        return (M @ M.T / d + np.eye(d, dtype=np.float32)) * scale
+
+    hessian_dir = tmp / "hessians"
+    # siglip image activations = fc1 output (mlp_dim) + bias column;
+    # text activations = hidden + bias column
+    save_hessians(hessian_dir, spd(64 + 1, 40.0), spd(32, 25.0), "img")
+    save_hessians(hessian_dir, spd(32 + 1, 35.0), spd(32, 15.0), "txt")
+    save_prior_precision(hessian_dir, 300.0, 1.0, 300.0, 1.0)
+    return tmp, weights_dir, hessian_dir, hf_vis, hf_txt
+
+
+def _run_reference_siglip(hessian_dir, hf_vis, hf_txt):
+    from bayesvlm.vlm import (
+        SIGLIP as RefSIGLIP,
+        SiglipImageEncoder as RefSiglipImageEncoder,
+        SiglipTextEncoder as RefSiglipTextEncoder,
+    )
+
+    tok = _SiglipTokShim(HashTokenizer(64, 16, eos_id=1))
+    image_encoder = RefSiglipImageEncoder(hf_vis)
+    image_encoder.device = "cpu"
+    text_encoder = RefSiglipTextEncoder(hf_txt, tok)
+    text_encoder.device = "cpu"
+    vlm = RefSIGLIP(logit_scale=SIG_LOG_SCALE, logit_bias=SIG_LOGIT_BIAS)
+
+    A_img, B_img = ref_load_hessians(hessian_dir, tag="img", return_info=False)
+    A_txt, B_txt = ref_load_hessians(hessian_dir, tag="txt", return_info=False)
+
+    info = {"n_img": 10, "n_txt": 10}
+    info["lambda_img"] = ref_optimize_prior_precision(
+        image_encoder.vision_projection, A=A_img, B=B_img, lmbda_init=300,
+        n=info["n_img"], lr=1e-2, num_steps=1000, device="cpu",
+    ).item()
+    info["lambda_txt"] = ref_optimize_prior_precision(
+        text_encoder.text_projection, A=A_txt, B=B_txt, lmbda_init=300,
+        n=info["n_txt"], lr=1e-2, num_steps=1000, device="cpu",
+    ).item()
+
+    cov_img, cov_txt = ref_compute_covariances(A_img, B_img, A_txt, B_txt, info)
+    vlm.set_covariances(cov_img, cov_txt)
+
+    imgs, class_ids = _synthetic_test_images()
+
+    class _DS(torch.utils.data.Dataset):
+        def __len__(self):
+            return N_TEST
+
+        def __getitem__(self, i):
+            return dict(
+                image=torch.tensor(np.transpose(imgs[i], (2, 0, 1))),
+                class_id=int(class_ids[i]),
+                image_id=i,
+            )
+
+    loader = torch.utils.data.DataLoader(_DS(), batch_size=32, shuffle=False)
+    with torch.no_grad():
+        image_outputs, labels, _ = ref_precompute_image_features(
+            image_encoder=image_encoder, loader=loader
+        )
+        prompts = [f"An image of a class {i}" for i in range(NUM_CLASSES)]
+        label_outputs = ref_precompute_text_features(
+            text_encoder=text_encoder, class_prompts=prompts, batch_size=32
+        )
+        prob_logits = ref_make_predictions(
+            clip=vlm, image_outputs=image_outputs, text_outputs=label_outputs,
+            batch_size=32, device="cpu",
+        )
+
+    kappa = 1 / torch.sqrt(1.0 + torch.pi / 8 * prob_logits.var)
+    pred = torch.softmax(kappa * prob_logits.mean, dim=-1).numpy()
+    labels = labels.numpy()
+    acc = float((pred.argmax(1) == labels).mean())
+    nlpd = float(-np.log(pred[np.arange(len(labels)), labels]).mean())
+    ece = _ece_20bin_l1(pred, labels)
+    return info, (acc, nlpd, ece)
+
+
+def test_full_pipeline_h2h_siglip_fp32(h2h_siglip):
+    tmp, weights_dir, hessian_dir, hf_vis, hf_txt = h2h_siglip
+
+    ref_info, ref_metrics = _run_reference_siglip(hessian_dir, hf_vis, hf_txt)
+
+    import zeroshot as zs
+
+    acc, nlpd, ece = zs.main(
+        dataset="synthetic",
+        hessian_dir=str(hessian_dir),
+        model_str="tiny-siglip",
+        pseudo_data_count=10,
+        batch_size=32,
+        num_workers=2,
+        weights_dir=str(weights_dir),
+        dtype="fp32",
+    )
+    our_info = zs.main.last_info
+
+    assert ref_info["lambda_img"] == pytest.approx(our_info["lambda_img"], rel=2e-3)
+    assert ref_info["lambda_txt"] == pytest.approx(our_info["lambda_txt"], rel=2e-3)
+    ref_acc, ref_nlpd, ref_ece = ref_metrics
+    assert acc == pytest.approx(ref_acc, abs=1.0 / N_TEST + 1e-9)
+    assert nlpd == pytest.approx(ref_nlpd, rel=1e-3, abs=2e-3)
+    assert ece == pytest.approx(ref_ece, rel=5e-2, abs=5e-3)
