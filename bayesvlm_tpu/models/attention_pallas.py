@@ -18,6 +18,13 @@ softmax_fp32=True. Non-causal only (the vision towers); the text towers
 No reference counterpart (the reference is torch single-device); this is
 the SURVEY §7 step-8 fusion target, moved from the Smith head (already
 XLA-fused well) to attention where the measured headroom is.
+
+Multi-chip composition: batch-sharded GSPMD jit partitions the kernel's
+grid along the sharded batch (verified exact vs unsharded —
+tests/test_pallas_attention.py). Under jax.shard_map, interpret-mode
+pallas currently trips the check_vma validator upstream (a
+dynamic_slice vma mismatch inside the interpreter); pass
+check_vma=False there, or use GSPMD sharding.
 """
 
 from __future__ import annotations
@@ -28,6 +35,19 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _out_struct(shape, x):
+    """ShapeDtypeStruct matching x's dtype and, inside shard_map traces,
+    its varying-mesh-axes (vma) — required for pallas_call outputs under
+    jax.shard_map(check_vma=True)."""
+    try:
+        vma = jax.typeof(x).vma
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, x.dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, x.dtype)
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
@@ -142,7 +162,7 @@ def fused_attention_block(x: jax.Array, wq, bq, wk, bk, wv, bv, wo, bo,
         grid=(B,),
         in_specs=[row, wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec],
         out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        out_shape=_out_struct((B, T, D), x),
         scratch_shapes=[
             pltpu.VMEM((group, T, T), jnp.float32),
             pltpu.VMEM((T, D), x.dtype),
@@ -177,7 +197,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         grid=(B,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        out_shape=_out_struct((B, T, D), q),
         scratch_shapes=[pltpu.VMEM((num_heads, T, T), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * T * T * head_dim,

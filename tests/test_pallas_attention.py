@@ -71,3 +71,27 @@ def test_block_kernel_matches_default():
     ref_paths = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(img.params)[0]}
     new_paths = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(p2)[0]}
     assert ref_paths == new_paths
+
+
+def test_pallas_tower_under_gspmd_batch_sharding():
+    """Production multi-chip composition: a batch-sharded GSPMD jit of the
+    pallas-attention tower must match the unsharded forward exactly (the
+    kernel grid partitions along the sharded batch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bayesvlm_tpu.dist.mesh import make_mesh
+
+    img, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0)
+    vcfg = dataclasses.replace(TINY_CLIP_CONFIG.vision, attn_pallas=True)
+    tower = CLIPVisionTower(vcfg, dtype=jnp.float32)
+    mesh = make_mesh(jax.devices()[:8], axis_names=("data",))
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(16, 32, 32, 3)),
+                    jnp.float32)
+    ref, _ = img.module.apply({"params": img.params}, x)
+    xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda p, xs: tower.apply({"params": p}, xs)[0],
+                out_shardings=NamedSharding(mesh, P()))
+    out = f(img.params, xd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
