@@ -27,7 +27,10 @@ from bayesvlm_tpu.dist.mesh import make_mesh
 
 @dataclasses.dataclass
 class DistContext:
-    mesh: object
+    mesh: object          # global data mesh (all devices, all hosts)
+    local_mesh: object    # this host's devices only — for host-local
+                          # compute over host-sharded data (e.g. kfac_ggn
+                          # per-host accumulation before allreduce_factors)
     host_id: int
     num_hosts: int
     num_devices: int
@@ -78,21 +81,34 @@ def initialize_distributed(
 ) -> DistContext:
     """Initialize jax.distributed when multi-host env vars / args are
     present; always returns a DistContext with the global data mesh."""
-    want_init = (
-        coordinator_address is not None
+    addr = (
+        coordinator_address
         or os.environ.get("COORDINATOR_ADDRESS")
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
     )
-    if want_init and jax.process_count() == 1:
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PROCESS_ID"):
+        process_id = int(os.environ["PROCESS_ID"])
+    # NOTE: do not probe jax.process_count() here — it initializes the
+    # XLA backend, after which jax.distributed.initialize() refuses to run.
+    if addr and not jax.distributed.is_initialized():
+        if (num_processes or 1) > 1:
+            # CPU backends need gloo for cross-process collectives
+            # (exercised by the 2-process integration test; TPU slices use
+            # their native transport and ignore this)
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass
         jax.distributed.initialize(
-            coordinator_address=coordinator_address
-            or os.environ.get("COORDINATOR_ADDRESS")
-            or os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            coordinator_address=addr,
             num_processes=num_processes,
             process_id=process_id,
         )
     return DistContext(
         mesh=make_mesh(),
+        local_mesh=make_mesh(jax.local_devices()),
         host_id=jax.process_index(),
         num_hosts=jax.process_count(),
         num_devices=len(jax.devices()),

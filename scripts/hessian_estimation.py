@@ -129,7 +129,11 @@ def main(
         activations_txt = activations_txt[:max_datapoints]
         embeddings_txt = embeddings_txt[:max_datapoints]
 
-    mesh = ctx.mesh if ctx is not None else None
+    # GGN accumulation runs over THIS host's devices (each host holds a
+    # different data shard; cross-host combination happens afterwards in
+    # allreduce_factors) — the global mesh would wrongly shard host-local
+    # batches over non-addressable devices.
+    mesh = ctx.local_mesh if ctx is not None else None
     scale = head.logit_scale
     bias = head.logit_bias
 
