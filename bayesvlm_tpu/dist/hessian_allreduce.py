@@ -39,6 +39,22 @@ def _pad_rows(x: np.ndarray, multiple: int):
     return x, mask
 
 
+def _as_global(x, mesh: Mesh, spec: P):
+    """Build a jax Array laid out as `spec` over `mesh`.
+
+    Single-process meshes: plain device-less asarray (jit places it).
+    Multi-process meshes (global-batch mode): every host holds the
+    identical full host array; make_array_from_callback hands each
+    addressable shard its slice, producing a true global array whose psum
+    crosses hosts (ICI within a slice, DCN across).
+    """
+    x = np.asarray(x)
+    if all(d.process_index == jax.process_index() for d in mesh.devices.flat):
+        return jnp.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def sharded_hessian_infonce(
     source_embeds,
     target_embeds,
@@ -65,7 +81,10 @@ def sharded_hessian_infonce(
         return _assemble_factor(w, G, Y_rep)
 
     return jax.jit(_shard_fn)(
-        jnp.asarray(src), Y, scale, jnp.asarray(mask)
+        _as_global(src, mesh, P(axis, None)),
+        _as_global(Y, mesh, P()),
+        scale,
+        _as_global(mask, mesh, P(axis)),
     )
 
 
@@ -101,7 +120,11 @@ def sharded_hessian_siglip(
         return _assemble_factor(w, G, Yn_rep)
 
     return jax.jit(_shard_fn)(
-        jnp.asarray(x), jnp.asarray(idx), Yn, s, b, jnp.asarray(mask)
+        _as_global(x, mesh, P(axis, None)),
+        _as_global(idx, mesh, P(axis)),
+        _as_global(Yn, mesh, P()),
+        s, b,
+        _as_global(mask, mesh, P(axis)),
     )
 
 
@@ -130,4 +153,6 @@ def sharded_activation_gram(
             partial_gram = a_masked.T @ a_masked
         return jax.lax.psum(partial_gram, axis)
 
-    return jax.jit(_shard_fn)(jnp.asarray(a), jnp.asarray(mask))
+    return jax.jit(_shard_fn)(
+        _as_global(a, mesh, P(axis, None)), _as_global(mask, mesh, P(axis))
+    )

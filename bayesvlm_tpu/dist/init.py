@@ -74,6 +74,33 @@ def allreduce_factors(A, B, n_local: float, num_hosts: int = None,
     )
 
 
+def allgather_rows(x, num_hosts: int = None):
+    """Gather per-host row blocks into one array in rank order, handling
+    uneven per-host counts (pads to the max count, slices back after the
+    gather). Used by the global-class-batch Stage-1 mode."""
+    import numpy as np
+
+    if num_hosts is None:
+        num_hosts = jax.process_count()
+    x = np.asarray(x)
+    if num_hosts <= 1:
+        return x
+    import jax.numpy as jnp
+    from jax.experimental.multihost_utils import process_allgather
+
+    counts = np.asarray(
+        process_allgather(jnp.asarray(x.shape[0], jnp.int32))
+    )
+    m = int(counts.max())
+    if x.shape[0] < m:
+        pad = np.zeros((m - x.shape[0],) + x.shape[1:], x.dtype)
+        x = np.concatenate([x, pad], axis=0)
+    stacked = np.asarray(process_allgather(jnp.asarray(x)))
+    return np.concatenate(
+        [stacked[h, : int(counts[h])] for h in range(num_hosts)], axis=0
+    )
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

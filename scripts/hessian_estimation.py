@@ -43,13 +43,14 @@ def main(
     use_mesh: bool = True,
     native_decode: bool = False,
     ggn_precision: str = "highest",
+    dist_global_batch: bool = False,
 ):
     from bayesvlm_tpu.bayes.estimation import kfac_ggn
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
     from bayesvlm_tpu.data.factory import DataModuleFactory
     from bayesvlm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
     from bayesvlm_tpu.data.transforms import get_transform
-    from bayesvlm_tpu.dist.init import initialize_distributed
+    from bayesvlm_tpu.dist.init import allgather_rows, initialize_distributed
     from bayesvlm_tpu.inference.precompute import compute_features
     from bayesvlm_tpu.io.artifacts import save_hessians, save_prior_precision
     from bayesvlm_tpu.io.torch_compat import load_pt_array, save_pt_array
@@ -129,17 +130,39 @@ def main(
         activations_txt = activations_txt[:max_datapoints]
         embeddings_txt = embeddings_txt[:max_datapoints]
 
-    # GGN accumulation runs over THIS host's devices (each host holds a
-    # different data shard; cross-host combination happens afterwards in
-    # allreduce_factors) — the global mesh would wrongly shard host-local
-    # batches over non-addressable devices.
-    mesh = ctx.local_mesh if ctx is not None else None
+    # Global-class-batch mode: gather every host's features (rank order)
+    # so the contrastive class batches span the WHOLE dataset, sharded
+    # over the GLOBAL mesh — psum partials ride ICI within a slice and
+    # DCN across (SURVEY §5 class-axis sharding). Without this flag each
+    # host forms class batches from its own shard only and the factors
+    # are combined afterwards (cheaper, different batch composition).
+    global_batch = multi_host and dist_global_batch
+    if global_batch:
+        activations_img = allgather_rows(activations_img, ctx.num_hosts)
+        embeddings_img = allgather_rows(embeddings_img, ctx.num_hosts)
+        activations_txt = allgather_rows(activations_txt, ctx.num_hosts)
+        embeddings_txt = allgather_rows(embeddings_txt, ctx.num_hosts)
+        print(f"[dist] global class batches over {len(embeddings_img)} "
+              f"gathered pairs, mesh {ctx.mesh.shape}")
+
+    # Default multi-host: GGN accumulation runs over THIS host's devices
+    # (each host holds a different data shard; cross-host combination
+    # happens afterwards in allreduce_factors). Global-batch mode instead
+    # shards the gathered class batches over the GLOBAL mesh.
+    if ctx is None:
+        mesh = None
+    elif global_batch:
+        mesh = ctx.mesh
+    else:
+        mesh = ctx.local_mesh
     scale = head.logit_scale
     bias = head.logit_bias
 
     def _global_factors(A, B, n_local):
         from bayesvlm_tpu.dist.init import allreduce_factors
 
+        if global_batch:
+            return A, B  # class batches already spanned all hosts
         return allreduce_factors(
             A, B, n_local, num_hosts=ctx.num_hosts if multi_host else 1
         )
@@ -238,6 +261,12 @@ if __name__ == "__main__":
     parser.add_argument("--tokenizer_dir", type=str, default=None)
     parser.add_argument("--no_mesh", action="store_true")
     parser.add_argument(
+        "--dist_global_batch", action="store_true",
+        help="multi-host: gather all hosts' features and shard the "
+        "contrastive class batches over the GLOBAL mesh (exact global "
+        "batch composition; psum over ICI/DCN) instead of per-host "
+        "batches + factor reduction")
+    parser.add_argument(
         "--ggn_precision", type=str, default="highest",
         choices=["highest", "high"],
         help="GGN matmul precision: 'highest'=fp32 (parity default); "
@@ -275,4 +304,5 @@ if __name__ == "__main__":
         use_mesh=not args.no_mesh,
         native_decode=args.native_decode,
         ggn_precision=args.ggn_precision,
+        dist_global_batch=args.dist_global_batch,
     )

@@ -42,6 +42,7 @@ he.main(
     num_workers=1, hessian_dir={hdir!r}, num_files=4, max_datapoints=48,
     lambda_init_txt=10.0, lambda_init_img=10.0, n_init_txt=1.0,
     n_init_img=1.0, lr=1e-2, num_steps=30, use_mesh=True,
+    dist_global_batch={global_batch},
 )
 print("WORKER", pid, "DONE")
 """
@@ -76,7 +77,7 @@ def test_two_process_hessian_estimation(tmp_path):
     hdir = tmp_path / "hessians_mp"
     worker = _WORKER.format(
         port=29411, repo=str(REPO), scripts=str(REPO / "scripts"),
-        hdir=str(hdir),
+        hdir=str(hdir), global_batch=False,
     )
     env = dict(os.environ, DATA_BASE_DIR=str(tmp_path / "data"),
                PYTHONHASHSEED="0")
@@ -134,5 +135,61 @@ def test_two_process_hessian_estimation(tmp_path):
     B_mp = np.asarray(load_pt_array(hdir / "B_img_analytic.pt"))
     # workers accumulate via the 4-device psum path, the replay via the
     # blocked-scan path: fp32 reassociation bounds agreement at ~1e-3 rel
+    np.testing.assert_allclose(A_mp, A_exp, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(B_mp, B_exp, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_two_process_global_class_batches(tmp_path):
+    """--dist_global_batch: the contrastive class batches span the
+    gathered GLOBAL dataset, sharded over the cross-process mesh (psum
+    over gloo here; ICI/DCN on real slices). Factors must match a
+    single-process kfac_ggn over the rank-concatenated features."""
+    laion_dir = tmp_path / "data" / "laion400m"
+    laion_dir.mkdir(parents=True)
+    for s in range(4):
+        _make_laion_tar(laion_dir / f"{s:05d}.tar", s * 24, 24)
+
+    hdir = tmp_path / "hessians_gb"
+    worker = _WORKER.format(
+        port=29413, repo=str(REPO), scripts=str(REPO / "scripts"),
+        hdir=str(hdir), global_batch=True,
+    )
+    env = dict(os.environ, DATA_BASE_DIR=str(tmp_path / "data"),
+               PYTHONHASHSEED="0")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", worker, str(pid)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=480)[0].decode() for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    assert "global class batches over 96 gathered pairs" in outs[0]
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    from bayesvlm_tpu.bayes.estimation import kfac_ggn
+    from bayesvlm_tpu.io.torch_compat import load_pt_array
+    from bayesvlm_tpu.models import load_model
+
+    _, _, head = load_model("tiny-clip", dtype=jnp.float32, seed=0)
+
+    # rank-concatenated features (each host capped at 48 by max_datapoints)
+    cat = lambda name: np.concatenate([
+        np.asarray(load_pt_array(hdir / f"{name}_host{h}.pt"))[:48]
+        for h in (0, 1)
+    ])
+    A_exp, B_exp = kfac_ggn(
+        head.logit_scale, head.logit_bias, 16,
+        cat("embeddings_img"), cat("activations_img"), cat("embeddings_txt"),
+        "info_nce", block_size=8,
+    )
+    A_mp = np.asarray(load_pt_array(hdir / "A_img_analytic.pt"))
+    B_mp = np.asarray(load_pt_array(hdir / "B_img_analytic.pt"))
     np.testing.assert_allclose(A_mp, A_exp, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(B_mp, B_exp, rtol=1e-3, atol=1e-3)
