@@ -48,9 +48,41 @@ class _EncoderBase:
     params: Any
     module: Any
     tower: str  # "vision" | "text"
+    mesh: Any = None  # optional data mesh: batch-sharded GSPMD forwards
 
     def _apply_fn(self):
         raise NotImplementedError
+
+    def with_mesh(self, mesh) -> "_EncoderBase":
+        """Return an encoder whose forwards run batch-sharded over the
+        mesh's `data` axis (GSPMD; verified exact vs unsharded incl. the
+        Pallas attention path — tests/test_pallas_attention.py). Params
+        are placed replicated once."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), self.params
+        )
+        return dataclasses.replace(self, mesh=mesh, params=params)
+
+    def _shard_batch(self, x):
+        """Batch-shard x over the mesh; pads uneven batches (caller slices
+        the result back via the returned original length)."""
+        if self.mesh is None or self.mesh.devices.size <= 1:
+            return x, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.mesh.devices.size
+        B = x.shape[0]
+        pad = (-B) % n
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            )
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec)), (
+            B if pad else None
+        )
 
     # ---- projection-layer (Laplace layer) access ----
     def projection_tree(self) -> Any:
@@ -133,7 +165,9 @@ class ImageEncoder(_EncoderBase):
     def __call__(self, images: Array) -> EncoderResult:
         if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
             images = jnp.transpose(images, (0, 2, 3, 1))  # NCHW -> NHWC
-        return self._fwd(self.params, images)
+        xs, orig = self._shard_batch(jnp.asarray(images))
+        res = self._fwd(self.params, xs)
+        return res if orig is None else res[:orig]
 
 
 @dataclasses.dataclass
@@ -153,7 +187,9 @@ class TextEncoder(_EncoderBase):
         self._fwd = fwd
 
     def __call__(self, input_ids: Array) -> EncoderResult:
-        return self._fwd(self.params, input_ids)
+        xs, orig = self._shard_batch(jnp.asarray(input_ids))
+        res = self._fwd(self.params, xs)
+        return res if orig is None else res[:orig]
 
     def encode_texts(self, texts) -> EncoderResult:
         if self.tokenizer is None:

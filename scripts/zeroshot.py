@@ -31,6 +31,7 @@ def main(
     weights_dir=None,
     tokenizer_dir=None,
     dtype: str = "bf16",
+    use_mesh: bool = True,
 ):
     import jax.numpy as jnp
 
@@ -44,7 +45,10 @@ def main(
         precompute_image_features,
         precompute_text_features,
     )
-    from bayesvlm_tpu.inference.predictions import make_predictions
+    from bayesvlm_tpu.inference.predictions import (
+        make_predictions,
+        make_predictions_sharded,
+    )
     from bayesvlm_tpu.io.artifacts import load_hessians
     from bayesvlm_tpu.models import load_model
     from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
@@ -69,6 +73,15 @@ def main(
     image_encoder, text_encoder, head = load_model(
         model_str, weights_dir=weights_dir, dtype=jdtype
     )
+    import jax
+
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        from bayesvlm_tpu.dist.mesh import default_mesh
+
+        mesh = default_mesh()
+        image_encoder = image_encoder.with_mesh(mesh)
+        print(f"[mesh] batch-sharded inference over {mesh.shape}")
     if tokenizer_dir is not None:
         text_encoder.tokenizer = HFTokenizer.from_local(tokenizer_dir, config.text.max_length)
     elif text_encoder.tokenizer is None:
@@ -110,10 +123,16 @@ def main(
     )
 
     print("[3] Making predictions...")
-    prob_logits = make_predictions(head, image_outputs, label_outputs, batch_size=batch_size)
+    if mesh is not None:
+        prob_logits = make_predictions_sharded(
+            head, image_outputs, label_outputs, mesh
+        )
+    else:
+        prob_logits = make_predictions(
+            head, image_outputs, label_outputs, batch_size=batch_size
+        )
 
     # probit approximation (ref:zeroshot.py:119-120)
-    import jax
 
     kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi / 8 * prob_logits.var)
     pred = jax.nn.softmax(kappa * prob_logits.mean, axis=-1)
@@ -145,6 +164,7 @@ if __name__ == "__main__":
     parser.add_argument("--tokenizer_dir", type=str, default=None)
     parser.add_argument("--dtype", type=str, default="bf16",
                         choices=["bf16", "fp32"])  # TPU extra
+    parser.add_argument("--no_mesh", action="store_true")
     args = parser.parse_args()
 
     if getattr(args, "device", None):
@@ -162,4 +182,5 @@ if __name__ == "__main__":
         weights_dir=args.weights_dir,
         tokenizer_dir=args.tokenizer_dir,
         dtype=args.dtype,
+        use_mesh=not args.no_mesh,
     )
