@@ -7,7 +7,11 @@ prior_precision_analytic.json), file-existence-gated resume.
 
 TPU path: encoders run as jitted batch forwards; the GGN runs as
 GEMM-reformulated class batches, sharded over all local devices when more
-than one is present.
+than one is present. Multi-host (COORDINATOR_ADDRESS/NUM_PROCESSES/
+PROCESS_ID env): per-host tar sharding + cross-host factor reduction, or
+--dist_global_batch for class batches spanning the gathered global
+dataset (psum over ICI/DCN). TPU extras beyond the reference's flags:
+--native_decode (C++ JPEG lane), --ggn_precision, --no_mesh, --device.
 """
 
 import argparse
