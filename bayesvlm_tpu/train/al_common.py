@@ -75,6 +75,14 @@ def setup_context(
     dm.setup()
 
     image_encoder, text_encoder, head = load_model(model_str, weights_dir=weights_dir)
+    import jax
+
+    if len(jax.devices()) > 1:
+        # batch-sharded feature precompute over the data mesh (same as
+        # the Stage-2 CLI; GSPMD equivalence tested)
+        from bayesvlm_tpu.dist.mesh import default_mesh
+
+        image_encoder = image_encoder.with_mesh(default_mesh())
     if tokenizer_dir is not None:
         text_encoder.tokenizer = HFTokenizer.from_local(
             tokenizer_dir, config.text.max_length
