@@ -119,9 +119,10 @@ def main():
 
     head = _Head()
 
-    # B=64 is the per-chip throughput sweet spot on v5 lite (measured
-    # sweep in BASELINE.md: 726 img/s at B=32/64 vs 666 at B=128)
-    B, C = 64, 1000
+    # B=80 is the per-chip sweet spot with the staged Pallas kernel
+    # (round-2 sweep, 20-iter loops: B=64: 922, B=80: 934, B=96: 834(!),
+    # B=160: 935 — tiling resonances; BASELINE.md)
+    B, C = 80, 1000
     D, P, Pt = (
         cfg.vision.projection_dim,
         cfg.vision.hidden_size,
@@ -140,7 +141,7 @@ def main():
     tB = jnp.full((D,), 1e-3)
     scale = head.logit_scale
 
-    N_ITER = 10
+    N_ITER = 20
 
     @jax.jit
     def loop(params, pixels):
@@ -160,7 +161,7 @@ def main():
     float(loop(params, pixels))  # compile + warmup (host fetch = hard sync)
 
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(loop(params, pixels))
         dt = time.perf_counter() - t0
