@@ -76,20 +76,30 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
         ).astype(o_ref.dtype)
 
 
-def _mha_block_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-                      wo_ref, bo_ref, o_ref, s_ref, a_ref, *, num_heads: int,
-                      head_dim: int, scale: float, group: int):
-    """Whole attention sublayer for one batch row: QKV projections ->
-    staged per-head attention -> output projection, all inside VMEM.
+def _mha_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                      bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref, s_ref,
+                      a_ref, *, num_heads: int, head_dim: int, scale: float,
+                      group: int, ln_eps: float):
+    """Whole attention sublayer for one batch row: fp32 LayerNorm -> QKV
+    projections -> staged per-head attention -> output projection ->
+    residual add, all inside VMEM.
 
     Weights have constant index maps, so Mosaic keeps them resident
-    across the grid instead of re-fetching per program. The q/k/v and
-    attention-output intermediates (4 x [T, D] per layer on the XLA path,
-    ~0.3 ms/layer of HBM round-trips at ViT-L B=64) never leave VMEM.
-    Scores go through an fp32 scratch in head groups of `group` to stay
-    under the VMEM budget alongside the 4 resident weight matrices.
+    across the grid instead of re-fetching per program. The LN output,
+    q/k/v and attention-output intermediates never leave VMEM, and the
+    LN reduction (a separate ~0.2 ms/layer fusion on the XLA path) is
+    absorbed into the kernel. Scores go through an fp32 scratch in head
+    groups of `group` to stay under the VMEM budget alongside the 4
+    resident weight matrices.
     """
-    x = x_ref[0]                                  # [T, D] bf16 (post-LN)
+    x_raw = x_ref[0]                              # [T, D] bf16 (pre-LN)
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    x = (
+        (xf - mu) * jax.lax.rsqrt(var + ln_eps) * lns_ref[0]
+        + lnb_ref[0]
+    ).astype(x_raw.dtype)                         # post-LN, bf16
 
     def proj(w_ref, b_ref):
         y = jax.lax.dot_general(
@@ -127,15 +137,17 @@ def _mha_block_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bo_ref[0].astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    # residual add (the XLA path does x + attn_out in bf16)
+    o_ref[0] = x_raw + out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def fused_attention_block(x: jax.Array, wq, bq, wk, bk, wv, bv, wo, bo,
-                          num_heads: int) -> jax.Array:
-    """Non-causal attention SUBLAYER: x (post-LN, [B, T, D]) -> out-proj
-    output [B, T, D] (residual add left to the caller). Weights [D, D]
-    bf16, biases [D]."""
+@functools.partial(jax.jit, static_argnames=("num_heads", "ln_eps"))
+def fused_attention_block(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
+                          wv, bv, wo, bo, num_heads: int,
+                          ln_eps: float = 1e-5) -> jax.Array:
+    """Non-causal attention SUBLAYER with pre-LN and residual:
+    x (PRE-LN, [B, T, D]) -> x + out_proj(MHA(LN(x))). Weights [D, D]
+    bf16, biases [D], LN params fp32."""
     B, T, D = x.shape
     head_dim = D // num_heads
     group = num_heads
@@ -151,7 +163,7 @@ def fused_attention_block(x: jax.Array, wq, bq, wk, bk, wv, bv, wo, bo,
 
     kernel = functools.partial(
         _mha_block_kernel, num_heads=num_heads, head_dim=head_dim,
-        scale=1.0 / (head_dim ** 0.5), group=group,
+        scale=1.0 / (head_dim ** 0.5), group=group, ln_eps=ln_eps,
     )
     row = pl.BlockSpec((1, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
@@ -160,7 +172,8 @@ def fused_attention_block(x: jax.Array, wq, bq, wk, bk, wv, bv, wo, bo,
     return pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[row, wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec],
+        in_specs=[row, bspec, bspec,
+                  wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec],
         out_specs=row,
         out_shape=_out_struct((B, T, D), x),
         scratch_shapes=[
@@ -173,7 +186,9 @@ def fused_attention_block(x: jax.Array, wq, bq, wk, bk, wv, bv, wo, bo,
             transcendentals=B * num_heads * T * T,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x, wq, b2(bq), wk, b2(bk), wv, b2(bv), wo, b2(bo))
+    )(x, ln_scale.reshape(1, D).astype(jnp.float32),
+      ln_bias.reshape(1, D).astype(jnp.float32),
+      wq, b2(bq), wk, b2(bk), wv, b2(bv), wo, b2(bo))
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))

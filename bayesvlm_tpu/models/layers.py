@@ -32,6 +32,30 @@ def get_activation(name: str) -> Callable[[Array], Array]:
     raise ValueError(f"unknown activation: {name}")
 
 
+class _LNInner(nn.Module):
+    """Parameter-only stand-in for nn.LayerNorm (scale/bias tree)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
+class _LNParams(nn.Module):
+    """Matches LayerNormFP32's param tree (<name>/ln/{scale,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNInner(self.features, name="ln")()
+
+
 class _DenseParams(nn.Module):
     """Parameter-only stand-in for nn.Dense (same tree: kernel/bias, same
     initializers) — lets fused kernels consume the weights without
@@ -81,6 +105,8 @@ class MultiHeadAttention(nn.Module):
         queries: Array,                 # [B, Tq, D]
         keys_values: Optional[Array] = None,  # [B, Tk, D]; None -> self-attn
         mask: Optional[Array] = None,   # [Tq, Tk] additive causal mask
+        pre_ln: Optional[tuple] = None,  # (scale, bias, eps): queries are
+                                         # PRE-LN; kernel fuses LN+residual
     ) -> Array:
         self_attention = keys_values is None
         if keys_values is None:
@@ -92,11 +118,13 @@ class MultiHeadAttention(nn.Module):
             self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
 
-        if self.use_pallas_block and mask is None and self_attention:
+        if (self.use_pallas_block and mask is None and self_attention
+                and pre_ln is not None):
             from bayesvlm_tpu.models.attention_pallas import (
                 fused_attention_block,
             )
 
+            ln_scale, ln_bias, ln_eps = pre_ln
             D_in = queries.shape[-1]
             ws = [
                 _DenseParams(self.hidden_size, D_in, name=n)()
@@ -105,7 +133,10 @@ class MultiHeadAttention(nn.Module):
             flat = []
             for w, b in ws:
                 flat += [w.astype(self.dtype), b.astype(self.dtype)]
-            return fused_attention_block(queries, *flat, num_heads=H)
+            return fused_attention_block(
+                queries, ln_scale, ln_bias, *flat, num_heads=H,
+                ln_eps=ln_eps,
+            )
 
         q = dense("q_proj")(queries)
         k = dense("k_proj")(keys_values)
@@ -192,16 +223,28 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
-        h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm1")(x)
-        x = x + MultiHeadAttention(
-            hidden_size=self.hidden_size,
-            num_heads=self.num_heads,
-            dtype=self.dtype,
-            softmax_fp32=self.softmax_fp32,
-            use_pallas=self.attn_pallas,
-            use_pallas_block=self.attn_pallas_block,
-            name="self_attn",
-        )(h, mask=mask)
+        if self.attn_pallas_block and mask is None:
+            # whole-sublayer kernel: LN + QKV + attention + out-proj +
+            # residual fused in VMEM (param trees unchanged)
+            lns, lnb = _LNParams(self.hidden_size, name="layer_norm1")()
+            x = MultiHeadAttention(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                use_pallas_block=True,
+                name="self_attn",
+            )(x, mask=None, pre_ln=(lns, lnb, self.layer_norm_eps))
+        else:
+            h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm1")(x)
+            x = x + MultiHeadAttention(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                softmax_fp32=self.softmax_fp32,
+                use_pallas=self.attn_pallas,
+                use_pallas_block=self.attn_pallas_block,
+                name="self_attn",
+            )(h, mask=mask)
         h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
         x = x + MLP(
             hidden_size=self.hidden_size,
