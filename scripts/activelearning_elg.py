@@ -37,17 +37,40 @@ def main(
     finetune_batch_size: int = 30,
     k_nearest: int = 1,
     knn_method: str = "wasserstein",
+    epig_lr: float = 1e-4,
+    epig_hessian_update_scale: float = 10.0,
+    epig_num_samples: int = 100,
+    epig_pool_max_size: int = 40_000,
+    epig_target_max_size: int = 20_000,
+    only_deterministic_strategies: bool = False,
+    only_random_strategies: bool = False,
+    only_epig: bool = False,
+    without_epig: bool = False,
+    only_egl: bool = False,
     weights_dir=None,
     tokenizer_dir=None,
 ):
     from bayesvlm_tpu.inference.predictions import make_predictions
     from bayesvlm_tpu.select.egl import select_egl
+    from bayesvlm_tpu.select.epig import select_epig_online
     from bayesvlm_tpu.select.knn import (
         find_similar_samples_cosine,
         find_similar_samples_wasserstein,
     )
-    from bayesvlm_tpu.select.scores import select_random
+    from bayesvlm_tpu.select.scores import select_random, select_topk
     from bayesvlm_tpu.train.al_common import finetune_all_subsets, setup_context
+
+    # strategy gating, ref:activelearning_elg.py:647-654
+    run_deterministic = (not only_random_strategies and not only_epig
+                         and not only_egl)
+    run_epig = (not only_random_strategies and not without_epig
+                and not only_egl)
+    run_egl = not only_random_strategies and not only_epig
+    run_random = (not only_deterministic_strategies and not only_epig
+                  and not only_egl)
+    if only_deterministic_strategies:
+        run_random = False
+        run_epig = False
 
     ctx = setup_context(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
@@ -56,10 +79,14 @@ def main(
     head = ctx.head
 
     print("[2] Making predictions ...")
-    prob_logits_test = make_predictions(
-        head, ctx.image_outputs_test, ctx.label_outputs,
-        batch_size=predictions_batch_size,
+    mk = lambda feats, map_est: make_predictions(
+        head, feats, ctx.label_outputs, batch_size=predictions_batch_size,
+        map_estimate=map_est,
     )
+    prob_logits_test = mk(ctx.image_outputs_test, False)
+    prob_logits_test_map = mk(ctx.image_outputs_test, True)
+    prob_logits_train = mk(ctx.image_outputs_train, False)
+    prob_logits_train_map = mk(ctx.image_outputs_train, True)
 
     subset_dir = ctx.run_dir / (
         f"elg_subset_{subset_size}_k_{k_nearest}_n_{hessian_scale}_knn_{knn_method}"
@@ -82,30 +109,103 @@ def main(
         else find_similar_samples_wasserstein
     )
 
-    print("[3] Creating training subsets (EGL) ...")
-    if "egl_test" not in subset_indices_train:
+    def _knn(idx, vals):
+        return knn_fn(
+            ctx.image_outputs_train, ctx.image_outputs_test,
+            np.asarray(idx), np.asarray(vals), k_nearest,
+            head.source_covariance, has_bias=head.source_projection_has_bias,
+        )
+
+    print("[3] Creating training subsets (EGL variant, full strategy set) ...")
+    # strategy keys mirror ref:activelearning_elg.py:670-806
+    if run_deterministic:
+        if "entropy_map" not in subset_indices_train:
+            idx, vals = select_topk(
+                prob_logits_test_map, k=subset_size, variant="entropy",
+                entropy_variant="map_alea", return_values=True,
+            )
+            subset_indices_train["entropy_map"] = _knn(idx, vals)
+            _save()
+
+        if "entropy_map_train" not in subset_indices_train:
+            idx, vals = select_topk(
+                prob_logits_train_map, k=subset_size, variant="entropy",
+                entropy_variant="map_alea", return_values=True,
+            )
+            subset_indices_train["entropy_map_train"] = {
+                0: dict(score=0.0, indices=np.asarray(idx).tolist(),
+                        similarities=np.asarray(vals).tolist())
+            }
+            _save()
+
+        if "bald_test" not in subset_indices_train:
+            idx, vals = select_topk(
+                prob_logits_test, k=subset_size, variant="exp_mutual_info",
+                return_values=True, seed=0,
+            )
+            subset_indices_train["bald_test"] = _knn(idx, vals)
+            _save()
+
+    if run_egl and "egl_test" not in subset_indices_train:
         idx, vals = select_egl(
             ctx.image_outputs_test, ctx.label_outputs, prob_logits_test,
             k=subset_size,
             logit_scale=head.logit_scale, logit_bias=head.logit_bias,
             proj_has_bias=head.source_projection_has_bias,
         )
-        subset_indices_train["egl_test"] = knn_fn(
-            ctx.image_outputs_train, ctx.image_outputs_test,
-            np.asarray(idx), np.asarray(vals), k_nearest,
-            head.source_covariance, has_bias=head.source_projection_has_bias,
-        )
+        subset_indices_train["egl_test"] = _knn(idx, vals)
         _save()
 
-    for i in range(3):
-        if f"random_on_test_{i}" not in subset_indices_train:
-            idx = select_random(prob_logits_test, k=subset_size, seed=i)
-            subset_indices_train[f"random_on_test_{i}"] = knn_fn(
-                ctx.image_outputs_train, ctx.image_outputs_test,
-                np.asarray(idx), np.ones(len(np.asarray(idx))), k_nearest,
-                head.source_covariance, has_bias=head.source_projection_has_bias,
-            )
-            _save()
+    if run_epig and "epig_knn" not in subset_indices_train:
+        proj = dict(ctx.image_encoder.projection_tree())
+        pool_subsampling = (
+            "knn_cosine" if knn_method == "cosine" else "knn_wasserstein"
+        )
+        indices_epig, epig_scores = select_epig_online(
+            label_features=ctx.label_outputs,
+            pool_features=ctx.image_outputs_train,
+            target_features=ctx.image_outputs_test,
+            pool_class_ids=ctx.class_ids_train,
+            projection_kernel=proj["kernel"],
+            projection_bias=proj.get("bias"),
+            head=head,
+            A_img=ctx.A_img, A_txt=ctx.A_txt, B_img=ctx.B_img, B_txt=ctx.B_txt,
+            cov_info=ctx.covar_info,
+            budget=subset_size,
+            lr=epig_lr,
+            hessian_update_scale=epig_hessian_update_scale,
+            num_samples=epig_num_samples,
+            seed=0,
+            projection_l2=ctx.image_encoder.projection_l2(),
+            projection_num_params=ctx.image_encoder.projection_num_params(),
+            pool_max_size=epig_pool_max_size,
+            target_max_size=epig_target_max_size,
+            pool_subsampling=pool_subsampling,
+            proj_has_bias=head.source_projection_has_bias,
+        )
+        subset_indices_train["epig_knn"] = {
+            0: dict(score=0.0, indices=indices_epig, similarities=epig_scores)
+        }
+        _save()
+
+    if run_random:
+        for i in range(5):
+            if f"random_on_test_{i}" not in subset_indices_train:
+                idx = select_random(prob_logits_test, k=subset_size, seed=i)
+                subset_indices_train[f"random_on_test_{i}"] = _knn(
+                    idx, np.ones(len(np.asarray(idx)))
+                )
+                _save()
+        for i in range(5):
+            if f"random_on_train_{i}" not in subset_indices_train:
+                idx = select_random(
+                    prob_logits_train, k=k_nearest * subset_size, seed=i
+                )
+                subset_indices_train[f"random_on_train_{i}"] = {
+                    0: dict(score=0.0, indices=np.asarray(idx).tolist(),
+                            similarities=[1.0] * len(np.asarray(idx)))
+                }
+                _save()
     _save()
 
     print("[4] Fine-tuning based on training subsets ...")
@@ -137,6 +237,16 @@ if __name__ == "__main__":
     parser.add_argument("--finetune_batch_size", type=int, default=30)
     parser.add_argument("--k_nearest", type=int, default=1)
     parser.add_argument("--knn_method", type=str, default="wasserstein")
+    parser.add_argument("--epig_lr", type=float, default=1e-4)
+    parser.add_argument("--epig_hessian_update_scale", type=float, default=10.0)
+    parser.add_argument("--epig_num_samples", type=int, default=100)
+    parser.add_argument("--epig_pool_max_size", type=int, default=40_000)
+    parser.add_argument("--epig_target_max_size", type=int, default=20_000)
+    parser.add_argument("--only_deterministic_strategies", action="store_true")
+    parser.add_argument("--only_random_strategies", action="store_true")
+    parser.add_argument("--only_epig", action="store_true")
+    parser.add_argument("--without_epig", action="store_true")
+    parser.add_argument("--only_egl", action="store_true")
     parser.add_argument("--weights_dir", type=str, default=None)
     parser.add_argument("--tokenizer_dir", type=str, default=None)
     parser.add_argument("--device", type=str, default="tpu")  # CLI parity
@@ -158,5 +268,15 @@ if __name__ == "__main__":
         finetune_epochs=args.finetune_epochs,
         finetune_batch_size=args.finetune_batch_size,
         k_nearest=args.k_nearest, knn_method=args.knn_method,
+        epig_lr=args.epig_lr,
+        epig_hessian_update_scale=args.epig_hessian_update_scale,
+        epig_num_samples=args.epig_num_samples,
+        epig_pool_max_size=args.epig_pool_max_size,
+        epig_target_max_size=args.epig_target_max_size,
+        only_deterministic_strategies=args.only_deterministic_strategies,
+        only_random_strategies=args.only_random_strategies,
+        only_epig=args.only_epig,
+        without_epig=args.without_epig,
+        only_egl=args.only_egl,
         weights_dir=args.weights_dir, tokenizer_dir=args.tokenizer_dir,
     )

@@ -27,6 +27,10 @@ def main(
     subset_size: int,
     llm_model_name: str = "gemini-pro",
     llm_score_type: str = "difficulty",
+    run_llm_difficulty: bool = False,
+    run_llm_value: bool = False,
+    llm_batch_size: int = 5,
+    llm_rate_limit_delay: float = 1.2,
     predictions_batch_size: int = 256,
     precompute_batch_size: int = 256,
     precompute_num_workers: int = 8,
@@ -36,18 +40,35 @@ def main(
     finetune_batch_size: int = 30,
     k_nearest: int = 1,
     knn_method: str = "wasserstein",
+    epig_lr: float = 1e-4,
+    epig_hessian_update_scale: float = 10.0,
+    epig_num_samples: int = 100,
+    epig_pool_max_size: int = 40_000,
+    epig_target_max_size: int = 20_000,
+    only_deterministic_strategies: bool = False,
+    only_random_strategies: bool = False,
+    only_epig: bool = False,
+    without_epig: bool = False,
     weights_dir=None,
     tokenizer_dir=None,
     llm_client=None,
 ):
     from bayesvlm_tpu.inference.predictions import make_predictions
+    from bayesvlm_tpu.select.epig import select_epig_online
     from bayesvlm_tpu.select.knn import (
         find_similar_samples_cosine,
         find_similar_samples_wasserstein,
     )
     from bayesvlm_tpu.select.llm import make_gemini_client, select_llm_score
-    from bayesvlm_tpu.select.scores import select_random
+    from bayesvlm_tpu.select.scores import select_random, select_topk
     from bayesvlm_tpu.train.al_common import finetune_all_subsets, setup_context
+
+    run_deterministic = not only_random_strategies and not only_epig
+    run_epig = not only_random_strategies and not without_epig
+    run_random = not only_deterministic_strategies and not only_epig
+    if only_deterministic_strategies:
+        run_random = False
+        run_epig = False
 
     ctx = setup_context(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
@@ -55,10 +76,14 @@ def main(
     )
     head = ctx.head
 
-    prob_logits_test = make_predictions(
-        head, ctx.image_outputs_test, ctx.label_outputs,
-        batch_size=predictions_batch_size,
+    mk = lambda feats, map_est: make_predictions(
+        head, feats, ctx.label_outputs, batch_size=predictions_batch_size,
+        map_estimate=map_est,
     )
+    prob_logits_test = mk(ctx.image_outputs_test, False)
+    prob_logits_test_map = mk(ctx.image_outputs_test, True)
+    prob_logits_train = mk(ctx.image_outputs_train, False)
+    prob_logits_train_map = mk(ctx.image_outputs_train, True)
 
     subset_dir = ctx.run_dir / (
         f"llm_{llm_score_type}_subset_{subset_size}_k_{k_nearest}"
@@ -81,31 +106,117 @@ def main(
         else find_similar_samples_wasserstein
     )
 
-    print("[3] Creating training subsets (LLM-scored) ...")
-    if f"llm_{llm_score_type}" not in subset_indices_train:
-        if llm_client is None:
-            llm_client = make_gemini_client(llm_model_name)
-        idx, vals = select_llm_score(
-            ctx.image_ids_test, ctx.class_ids_test, ctx.dm.class_prompts,
-            k=subset_size, client=llm_client, llm_score_type=llm_score_type,
-            dataset_name=dataset,
-        )
-        subset_indices_train[f"llm_{llm_score_type}"] = knn_fn(
+    def _knn(idx, vals):
+        return knn_fn(
             ctx.image_outputs_train, ctx.image_outputs_test,
             np.asarray(idx), np.asarray(vals), k_nearest,
             head.source_covariance, has_bias=head.source_projection_has_bias,
         )
+
+    print("[3] Creating training subsets (LLM variant, full strategy set) ...")
+    # strategy keys mirror ref:activelearning_llm.py:640-760
+    if run_deterministic:
+        if "entropy_map" not in subset_indices_train:
+            idx, vals = select_topk(
+                prob_logits_test_map, k=subset_size, variant="entropy",
+                entropy_variant="map_alea", return_values=True,
+            )
+            subset_indices_train["entropy_map"] = _knn(idx, vals)
+            _save()
+
+        if "entropy_map_train" not in subset_indices_train:
+            idx, vals = select_topk(
+                prob_logits_train_map, k=subset_size, variant="entropy",
+                entropy_variant="map_alea", return_values=True,
+            )
+            subset_indices_train["entropy_map_train"] = {
+                0: dict(score=0.0, indices=np.asarray(idx).tolist(),
+                        similarities=np.asarray(vals).tolist())
+            }
+            _save()
+
+        if "bald_test" not in subset_indices_train:
+            idx, vals = select_topk(
+                prob_logits_test, k=subset_size, variant="exp_mutual_info",
+                return_values=True, seed=0,
+            )
+            subset_indices_train["bald_test"] = _knn(idx, vals)
+            _save()
+
+    if run_epig and "epig_knn" not in subset_indices_train:
+        proj = dict(ctx.image_encoder.projection_tree())
+        pool_subsampling = (
+            "knn_cosine" if knn_method == "cosine" else "knn_wasserstein"
+        )
+        indices_epig, epig_scores = select_epig_online(
+            label_features=ctx.label_outputs,
+            pool_features=ctx.image_outputs_train,
+            target_features=ctx.image_outputs_test,
+            pool_class_ids=ctx.class_ids_train,
+            projection_kernel=proj["kernel"],
+            projection_bias=proj.get("bias"),
+            head=head,
+            A_img=ctx.A_img, A_txt=ctx.A_txt, B_img=ctx.B_img, B_txt=ctx.B_txt,
+            cov_info=ctx.covar_info,
+            budget=subset_size,
+            lr=epig_lr,
+            hessian_update_scale=epig_hessian_update_scale,
+            num_samples=epig_num_samples,
+            seed=0,
+            projection_l2=ctx.image_encoder.projection_l2(),
+            projection_num_params=ctx.image_encoder.projection_num_params(),
+            pool_max_size=epig_pool_max_size,
+            target_max_size=epig_target_max_size,
+            pool_subsampling=pool_subsampling,
+            proj_has_bias=head.source_projection_has_bias,
+        )
+        subset_indices_train["epig_knn"] = {
+            0: dict(score=0.0, indices=indices_epig, similarities=epig_scores)
+        }
         _save()
 
-    for i in range(3):
-        if f"random_on_test_{i}" not in subset_indices_train:
-            idx = select_random(prob_logits_test, k=subset_size, seed=i)
-            subset_indices_train[f"random_on_test_{i}"] = knn_fn(
-                ctx.image_outputs_train, ctx.image_outputs_test,
-                np.asarray(idx), np.ones(len(np.asarray(idx))), k_nearest,
-                head.source_covariance, has_bias=head.source_projection_has_bias,
-            )
-            _save()
+    if run_random:
+        for i in range(5):
+            if f"random_on_test_{i}" not in subset_indices_train:
+                idx = select_random(prob_logits_test, k=subset_size, seed=i)
+                subset_indices_train[f"random_on_test_{i}"] = _knn(
+                    idx, np.ones(len(np.asarray(idx)))
+                )
+                _save()
+        for i in range(5):
+            if f"random_on_train_{i}" not in subset_indices_train:
+                idx = select_random(
+                    prob_logits_train, k=k_nearest * subset_size, seed=i
+                )
+                subset_indices_train[f"random_on_train_{i}"] = {
+                    0: dict(score=0.0, indices=np.asarray(idx).tolist(),
+                            similarities=[1.0] * len(np.asarray(idx)))
+                }
+                _save()
+
+    # LLM-scored strategies, gated like the reference (run only when the
+    # flags are set OR the legacy llm_score_type single-strategy call is
+    # used without any explicit run_llm_* flag)
+    want_llm = []
+    if run_llm_difficulty:
+        want_llm.append("difficulty")
+    if run_llm_value:
+        want_llm.append("value")
+    if not want_llm and llm_client is not None:
+        want_llm = [llm_score_type]
+    for score_type in want_llm:
+        key = f"llm_{score_type}_test"
+        if key in subset_indices_train:
+            continue
+        if llm_client is None:
+            llm_client = make_gemini_client(llm_model_name)
+        idx, vals = select_llm_score(
+            ctx.image_ids_test, ctx.class_ids_test, ctx.dm.class_prompts,
+            k=subset_size, client=llm_client, llm_score_type=score_type,
+            dataset_name=dataset, rate_limit_delay=llm_rate_limit_delay,
+        )
+        subset_indices_train[key] = _knn(idx, vals)
+        _save()
     _save()
 
     print("[4] Fine-tuning based on training subsets ...")
@@ -131,6 +242,19 @@ if __name__ == "__main__":
     parser.add_argument("--llm_model_name", type=str, default="gemini-pro")
     parser.add_argument("--llm_score_type", type=str, default="difficulty",
                         choices=["difficulty", "value"])
+    parser.add_argument("--run_llm_difficulty", action="store_true")
+    parser.add_argument("--run_llm_value", action="store_true")
+    parser.add_argument("--llm_batch_size", type=int, default=5,
+                        help="accepted for CLI parity (our scorer rate-"
+                        "limits per call rather than per batch)")
+    parser.add_argument("--llm_rate_limit_delay", type=float, default=1.2)
+    parser.add_argument("--epig_lr", type=float, default=1e-4)
+    parser.add_argument("--epig_hessian_update_scale", type=float, default=10.0)
+    parser.add_argument("--epig_num_samples", type=int, default=100)
+    parser.add_argument("--only_deterministic_strategies", action="store_true")
+    parser.add_argument("--only_random_strategies", action="store_true")
+    parser.add_argument("--only_epig", action="store_true")
+    parser.add_argument("--without_epig", action="store_true")
     parser.add_argument("--predictions_batch_size", type=int, default=256)
     parser.add_argument("--precompute_batch_size", type=int, default=256)
     parser.add_argument("--precompute_num_workers", type=int, default=8)
@@ -155,6 +279,17 @@ if __name__ == "__main__":
         experiment_dir=args.experiment_dir, project_name=args.project_name,
         hessian_scale=args.hessian_scale, subset_size=args.subset_size,
         llm_model_name=args.llm_model_name, llm_score_type=args.llm_score_type,
+        run_llm_difficulty=args.run_llm_difficulty,
+        run_llm_value=args.run_llm_value,
+        llm_batch_size=args.llm_batch_size,
+        llm_rate_limit_delay=args.llm_rate_limit_delay,
+        epig_lr=args.epig_lr,
+        epig_hessian_update_scale=args.epig_hessian_update_scale,
+        epig_num_samples=args.epig_num_samples,
+        only_deterministic_strategies=args.only_deterministic_strategies,
+        only_random_strategies=args.only_random_strategies,
+        only_epig=args.only_epig,
+        without_epig=args.without_epig,
         predictions_batch_size=args.predictions_batch_size,
         precompute_batch_size=args.precompute_batch_size,
         precompute_num_workers=args.precompute_num_workers,

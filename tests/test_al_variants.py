@@ -77,8 +77,15 @@ def test_kmeans_variant(tiny_hessians):
         k_clusters=16,
         early_stopping_patience=15,
     )
-    assert "entropy_map" in results and "bald_test" in results
-    assert len([k for k in results if k.startswith("random_on_test")]) == 5
+    # reference strategy keys (ref:activelearning_kmeans.py:603-714)
+    assert "entropy_map_kmeans_knn" in results
+    assert "entropy_map_trainset_direct" in results
+    assert "bald_test_kmeans_knn" in results
+    assert "epig_direct" in results
+    assert len([k for k in results
+                if k.startswith("random_on_test_kmeans_knn")]) == 5
+    assert len([k for k in results
+                if k.startswith("random_on_train_direct")]) == 5
     for m in results.values():
         assert np.isfinite(m["loss"])
     # representative indices must be valid ORIGINAL train indices (the
@@ -95,9 +102,22 @@ def test_elg_variant(tiny_hessians):
     tmp, hessian_dir = tiny_hessians
     import activelearning_elg as ale
 
-    results = ale.main(**_common_kwargs(tmp, hessian_dir, "exp_elg"))
-    assert "egl_test" in results
-    assert len([k for k in results if k.startswith("random_on_test")]) == 3
+    results = ale.main(
+        **_common_kwargs(tmp, hessian_dir, "exp_elg"),
+        epig_num_samples=8, epig_pool_max_size=32, epig_target_max_size=16,
+    )
+    # full reference strategy set (ref:activelearning_elg.py:670-806)
+    for key in ("entropy_map", "entropy_map_train", "bald_test",
+                "egl_test", "epig_knn"):
+        assert key in results, key
+    assert len([k for k in results if k.startswith("random_on_test")]) == 5
+    assert len([k for k in results if k.startswith("random_on_train")]) == 5
+
+    # --only_egl gating: a fresh run must produce egl_test only
+    results2 = ale.main(
+        **_common_kwargs(tmp, hessian_dir, "exp_elg_only"), only_egl=True,
+    )
+    assert set(results2) == {"egl_test"}
 
 
 def test_llm_variant_with_stub_client(tiny_hessians):
@@ -115,7 +135,22 @@ def test_llm_variant_with_stub_client(tiny_hessians):
         **_common_kwargs(tmp, hessian_dir, "exp_llm"),
         llm_score_type="difficulty",
         llm_client=stub_client,
+        epig_num_samples=8, epig_pool_max_size=32, epig_target_max_size=16,
     )
-    assert "llm_difficulty" in results
+    # full reference strategy set (ref:activelearning_llm.py:640-760)
+    for key in ("entropy_map", "entropy_map_train", "bald_test",
+                "epig_knn", "llm_difficulty_test"):
+        assert key in results, key
+    assert len([k for k in results if k.startswith("random_on_test")]) == 5
+    assert len([k for k in results if k.startswith("random_on_train")]) == 5
     assert len(calls) == 128  # one call per test candidate (factory default)
     assert all("challenging" in p for p in calls)
+
+    # run_llm_value flag produces the value-scored strategy too
+    results2 = all_.main(
+        **_common_kwargs(tmp, hessian_dir, "exp_llm2"),
+        run_llm_value=True,
+        llm_client=stub_client,
+        only_random_strategies=True,  # skip the shared strategies for speed
+    )
+    assert "llm_value_test" in results2
