@@ -44,12 +44,26 @@ def marginal_entropy_from_probs(probs: Array) -> Array:
     return entropy_from_probs(jnp.mean(probs, axis=1))
 
 
-@partial(jax.jit, static_argnames=())
-def epig_from_probs_using_matmul(probs_pool: Array, probs_targ: Array) -> Array:
+@partial(jax.jit, static_argnames=("use_pallas",))
+def epig_from_probs_using_matmul(
+    probs_pool: Array, probs_targ: Array, use_pallas: Optional[bool] = None
+) -> Array:
     """EPIG = H[pool] + E[H[targ]] - E[H[joint]]
     (ref:bayesvlm/epig.py:342-397).
 
-    probs_pool [N_p, K, C], probs_targ [N_t, K, C] -> [N_p]."""
+    probs_pool [N_p, K, C], probs_targ [N_t, K, C] -> [N_p].
+
+    `use_pallas=None` auto-selects the fused joint-entropy kernel
+    (select/epig_pallas.py) on TPU — same bf16/fp32 contract, the
+    [N_p*C, N_t*C] joint tiles never leave VMEM; measured 58.1 -> 51.5
+    ms/step at the reference operating point (BASELINE.md round 3)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from bayesvlm_tpu.select.epig_pallas import epig_from_probs_pallas
+
+        return epig_from_probs_pallas(probs_pool, probs_targ)
+
     N_t, K, C = probs_targ.shape
 
     entropy_pool = marginal_entropy_from_probs(probs_pool)          # [N_p]
