@@ -50,6 +50,85 @@ def _out_struct(shape, x):
     return jax.ShapeDtypeStruct(shape, x.dtype)
 
 
+def _mha_split_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, o_ref, s_ref,
+                      *, num_heads: int, head_dim: int, scale: float):
+    """Staged MHA with the key axis split into a 128-multiple main block
+    plus an r-key remainder (r = T % 128).
+
+    Hypothesis: at T=257 the one-block kernel pads the score lanes
+    257 -> 384 — a 1.5x tax on both MXU passes. Splitting one key off
+    makes the main score block tile exactly ([T, 256] at ViT-L/H); the
+    remainder contributes a thin [T, r] column and a rank-r pv
+    correction. Algebraically identical: softmax over keys is invariant
+    to partitioning the key set (the -inf filler lanes contribute
+    exp() = 0, same fp32 contract as the one-block path).
+
+    MEASURED NEGATIVE (v5 lite, B=80 ViT-L shapes): 1.60 ms vs 1.07 ms
+    one-block; end-to-end 859.9 vs 936.0 img/s. The one-block kernel
+    runs at only ~20 TFLOP/s — it is softmax/VPU- and VMEM-bound, not
+    MXU-bound, so shaving the MXU lane padding buys nothing while the
+    per-head remainder stores and -inf fills add VPU work. Kept as an
+    opt-in (`fused_attention(..., split_key=True)`), exact-match tested
+    at several remainder widths.
+    """
+    q = q_ref[0]                      # [T, H*Dh] bf16
+    kp = kp_ref[0]                    # [T_main, H*Dh]
+    kc = kc_ref[0]                    # [r, H*Dh]
+    vp = vp_ref[0]
+    vc = vc_ref[0]
+    r = kc.shape[0]
+    T, D = q.shape
+    t_main = kp.shape[0]
+    r_pad = s_ref.shape[-1] - t_main  # remainder lane-tile (r -> 128)
+
+    neg_inf = jnp.float32(-jnp.inf)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        # main block: exact-tiling [T, t_main] matmul (no 257->384 lane
+        # padding on the MXU pass)
+        s_ref[h, :, :t_main] = jax.lax.dot_general(
+            q[:, sl], kp[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # remainder lane-tile: -inf filler (exp -> 0 under the unchanged
+        # softmax below), real scores for the r remainder keys on top
+        s_ref[h, :, t_main:] = jnp.full((T, r_pad), neg_inf, jnp.float32)
+        if r == 1:
+            # Mosaic rejects the N=1 matmul form; a lane reduction is
+            # exact (bf16*bf16 -> fp32 products, fp32 sum)
+            s_ref[h, :, t_main:t_main + 1] = jnp.sum(
+                q[:, sl].astype(jnp.float32) * kc[:, sl].astype(jnp.float32),
+                axis=-1, keepdims=True,
+            ) * scale
+        else:
+            s_ref[h, :, t_main:t_main + r] = jax.lax.dot_general(
+                q[:, sl], kc[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+    # identical softmax structure to the one-block kernel (the -inf
+    # filler lanes contribute exp() = 0)
+    p = jax.nn.softmax(s_ref[:], axis=-1).astype(q.dtype)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        main = jax.lax.dot_general(
+            p[h, :, :t_main], vp[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if r == 1:
+            rest = (p[h, :, t_main:t_main + 1].astype(jnp.float32)
+                    * vc[0:1, sl].astype(jnp.float32))   # [T,1]*[1,Dh]
+        else:
+            rest = jax.lax.dot_general(
+                p[h, :, t_main:t_main + r], vc[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[0, :, sl] = (main + rest).astype(o_ref.dtype)
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
                 head_dim: int, scale: float):
     # Staged schedule (measured 11% faster than per-head
@@ -191,16 +270,59 @@ def fused_attention_block(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
       wq, b2(bq), wk, b2(bk), wv, b2(bv), wo, b2(bo))
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "split_key"))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    num_heads: int) -> jax.Array:
+                    num_heads: int, split_key: bool = False) -> jax.Array:
     """Non-causal MHA: q, k, v [B, T, H*Dh] (packed heads) -> [B, T, H*Dh].
 
     Equivalent to the einsum path with fp32 softmax; scores never leave
-    VMEM.
+    VMEM. split_key=True routes to the measured-slower split-key
+    schedule (see _mha_split_kernel — kept as a tested research
+    variant, NOT the production path).
     """
     B, T, D = q.shape
     head_dim = D // num_heads
+    interpret = jax.default_backend() != "tpu"
+
+    t_main = (T // 128) * 128
+    r = T - t_main
+    if split_key and t_main > 0 and r > 0:
+        # split-key schedule: exact-tiling main block + r-key remainder
+        # (measured SLOWER than the one-block kernel at ViT-L B=80:
+        # 859.9 vs 936.0 img/s end-to-end — see BASELINE.md)
+        kernel = functools.partial(
+            _mha_split_kernel, num_heads=num_heads, head_dim=head_dim,
+            scale=1.0 / (head_dim ** 0.5),
+        )
+        spec = pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1, t_main, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        rspec = pl.BlockSpec((1, r, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[spec, mspec, rspec, mspec, rspec],
+            out_specs=spec,
+            out_shape=_out_struct((B, T, D), q),
+            scratch_shapes=[
+                pltpu.VMEM((num_heads, T, t_main + 128), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * num_heads * T * T * head_dim,
+                bytes_accessed=4 * B * T * D * q.dtype.itemsize,
+                transcendentals=B * num_heads * T * T,
+            ),
+            # the split inputs + fp32 scratch land ~1.5 MB over the 16 MB
+            # default scoped-vmem limit at ViT-L shapes; the chip has
+            # 128 MB VMEM, so raise the per-kernel cap
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(q, k[:, :t_main], k[:, t_main:], v[:, :t_main], v[:, t_main:])
+
     kernel = functools.partial(
         _mha_kernel, num_heads=num_heads, head_dim=head_dim,
         scale=1.0 / (head_dim ** 0.5),
@@ -220,5 +342,5 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=B * num_heads * T * T,
         ),
         # CPU (tests, virtual meshes): run the kernel in interpret mode
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )(q, k, v)

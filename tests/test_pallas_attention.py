@@ -95,3 +95,20 @@ def test_pallas_tower_under_gspmd_batch_sharding():
     out = f(img.params, xd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_split_key_kernel_matches_einsum():
+    """The opt-in split-key schedule (main 128-tile block + r-key
+    remainder; measured slower than one-block on chip, kept as a tested
+    variant) must match the reference einsum exactly in fp32 for
+    several remainder widths, including the r=1 lane-reduction path."""
+    rng = np.random.default_rng(3)
+    for T in (129, 133, 200, 255):
+        B, H, Dh = 2, 4, 8
+        q = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        ref = np.asarray(_ref_attn(q, k, v, H))
+        out = np.asarray(fused_attention(q, k, v, H, split_key=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"T={T}")
