@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from bayesvlm_tpu.types import EncoderResult, ProbabilisticLogits
+from bayesvlm_tpu.ops import topk_exact
 
 Array = jax.Array
 
@@ -121,5 +122,5 @@ def select_egl(
         image_outputs, text_outputs, prob_logits,
         logit_scale, logit_bias, proj_has_bias,
     )
-    values, indices = jax.lax.top_k(scores, k)
+    values, indices = topk_exact(scores, k)
     return indices, values

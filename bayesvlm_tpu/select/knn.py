@@ -24,6 +24,7 @@ import numpy as np
 from bayesvlm_tpu.bayes.kfac import KroneckerFactorizedCovariance
 from bayesvlm_tpu.probforward.smith import activation_diag_covariance
 from bayesvlm_tpu.types import EncoderResult
+from bayesvlm_tpu.ops import topk_exact
 
 Array = jax.Array
 
@@ -118,7 +119,7 @@ def find_similar_samples_cosine(
         has_bias=has_bias,
     )
     k_cap = min(k_nearest + buffersize, train.embeds.shape[0])
-    vals, ids = jax.lax.top_k(sims, k_cap)
+    vals, ids = topk_exact(sims, k_cap)
     ids_np, vals_np = np.asarray(ids), np.asarray(vals)
     n_test = len(np.asarray(indices_test))
     k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)
@@ -145,7 +146,7 @@ def find_similar_samples_wasserstein(
     test_diag = activation_diag_covariance(test_sub.activations, cov, has_bias)
     sims = -wdist2(test_sub.embeds, train.embeds, test_diag, train_diag)
     k_cap = min(k_nearest + buffersize, train.embeds.shape[0])
-    vals, ids = jax.lax.top_k(sims, k_cap)
+    vals, ids = topk_exact(sims, k_cap)
     ids_np, vals_np = np.asarray(ids), np.asarray(vals)
     n_test = len(np.asarray(indices_test))
     k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)

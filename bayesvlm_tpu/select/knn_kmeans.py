@@ -23,6 +23,7 @@ from bayesvlm_tpu.bayes.kfac import KroneckerFactorizedCovariance
 from bayesvlm_tpu.probforward.smith import activation_diag_covariance
 from bayesvlm_tpu.select.knn import _dedup_loop, wdist2
 from bayesvlm_tpu.types import EncoderResult
+from bayesvlm_tpu.ops import topk_exact
 
 Array = jax.Array
 
@@ -84,7 +85,7 @@ def find_similar_samples_cosine(
     sims = _expected_cosine_clamped(test_sub, train, source_covariance, has_bias)
     n_reps = train.embeds.shape[0]
     k_cap = min(k_nearest + buffersize, n_reps)
-    vals, ids = jax.lax.top_k(sims, k_cap)
+    vals, ids = topk_exact(sims, k_cap)
     ids_np, vals_np = np.asarray(ids), np.asarray(vals)
     n_test = len(np.asarray(indices_test))
     k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)
@@ -116,7 +117,7 @@ def find_similar_samples_wasserstein(
     )
     n_reps = train.embeds.shape[0]
     k_cap = min(k_nearest + buffersize, n_reps)
-    vals, ids = jax.lax.top_k(sims, k_cap)
+    vals, ids = topk_exact(sims, k_cap)
     ids_np, vals_np = np.asarray(ids), np.asarray(vals)
     n_test = len(np.asarray(indices_test))
     k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)

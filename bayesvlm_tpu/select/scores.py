@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bayesvlm_tpu.types import ProbabilisticLogits
+from bayesvlm_tpu.ops import topk_exact
 
 Array = jax.Array
 
@@ -109,7 +110,7 @@ def select_topk(
     n = min(k + offset, N)
     complexity = complexity_score(prob_logits, variant, entropy_variant,
                                   seed=seed, chunk_size=chunk_size)
-    values, indices = jax.lax.top_k(complexity, n)
+    values, indices = topk_exact(complexity, n)
     if return_values:
         return indices[offset:], values[offset:]
     return indices[offset:]
@@ -140,7 +141,7 @@ def select_topk_classbalanced(
             score = jnp.sum(sub.var, axis=1)
         else:
             score = entropy_score(sub, entropy_variant)
-        _, idx = jax.lax.top_k(score, min(n, score.shape[0]))
+        _, idx = topk_exact(score, min(n, score.shape[0]))
         # DIVERGENCE (latent reference bug FIXED here): the reference
         # returns within-class-LOCAL positions (ref:bayesvlm/selection.py:
         # 96-102 appends topk indices taken inside the class mask), which
