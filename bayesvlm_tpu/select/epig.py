@@ -26,6 +26,7 @@ import numpy as np
 from bayesvlm_tpu.bayes.hessians import hessian_infonce
 from bayesvlm_tpu.bayes.kfac import compute_covariances
 from bayesvlm_tpu.bayes.prior import optimize_prior_precision
+from bayesvlm_tpu.ops import topk_exact
 from bayesvlm_tpu.probforward.smith import ProbabilisticHead, activation_diag_covariance
 from bayesvlm_tpu.select.knn import expected_cosine_similarity, wdist2
 from bayesvlm_tpu.types import EncoderResult, ProbabilisticLogits
@@ -222,8 +223,11 @@ def select_epig_online(
             target_features[jnp.asarray(indices_target)], pool_features,
             cov_img.A_inv, jnp.diagonal(cov_img.B_inv), has_bias=proj_has_bias,
         )
-        nn = np.asarray(jnp.argsort(sims, axis=1)[:, ::-1][:, :k_nearest_neighbors])
-        indices_pool = np.unique(nn.flatten())
+        # top-k instead of a full-width device sort (ops.topk_exact,
+        # BASELINE.md); np.unique erases order, so only float-tie sets
+        # straddling the k boundary could differ from argsort[::-1]
+        _, nn = topk_exact(sims, min(k_nearest_neighbors, sims.shape[1]))
+        indices_pool = np.unique(np.asarray(nn).flatten())
         if len(indices_pool) < budget:
             raise ValueError(
                 f"Could not find enough samples in the pool. Found "
@@ -235,8 +239,8 @@ def select_epig_online(
         targ_sub = target_features[jnp.asarray(indices_target)]
         targ_diag = activation_diag_covariance(targ_sub.activations, cov, proj_has_bias)
         sims = -wdist2(targ_sub.embeds, pool_features.embeds, targ_diag, pool_diag)
-        nn = np.asarray(jnp.argsort(sims, axis=1)[:, ::-1][:, :k_nearest_neighbors])
-        indices_pool = np.unique(nn.flatten())
+        _, nn = topk_exact(sims, min(k_nearest_neighbors, sims.shape[1]))
+        indices_pool = np.unique(np.asarray(nn).flatten())
         if len(indices_pool) < budget:
             raise ValueError(
                 f"Could not find enough samples in the pool. Found "
