@@ -85,22 +85,75 @@ def epig_from_probs_using_matmul(
     return entropy_pool + entropy_targ - entropy_joint
 
 
+def epig_from_probs_sharded(
+    probs_pool: Array,
+    probs_targ: Array,
+    mesh,
+    axis: str = "data",
+    use_pallas: Optional[bool] = None,
+) -> Array:
+    """EPIG scores with pool rows sharded over a mesh axis.
+
+    EPIG is per-pool-row (the target side enters only through replicated
+    reductions), so the TPU-native distribution is embarrassingly
+    parallel: shard_map over pool rows, target replicated, ZERO
+    collectives — each chip scores its rows with the same per-row math
+    as the unsharded path (exact match; padding rows are uniform
+    distributions and trimmed). No reference counterpart (single-GPU,
+    ref:bayesvlm/epig.py:313-340); SURVEY §2.7 data-parallel plan.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    n = probs_pool.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        filler = jnp.full(
+            (pad,) + probs_pool.shape[1:],
+            1.0 / probs_pool.shape[-1], probs_pool.dtype,
+        )
+        probs_pool = jnp.concatenate([probs_pool, filler], axis=0)
+
+    def per_shard(pp, pt):
+        return epig_from_probs_using_matmul(pp, pt, use_pallas=use_pallas)
+
+    out = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis), P()), out_specs=P(axis),
+        # interpret-mode pallas under shard_map trips the vma validator
+        # upstream (same note as models/attention_pallas.py)
+        check_vma=False,
+    )(probs_pool, probs_targ)
+    return out[:n]
+
+
 def epig_from_logits_using_matmul(
     logits_pool: ProbabilisticLogits,
     logits_targ: ProbabilisticLogits,
     seed: int,
     num_samples: int,
     chunk_size: int = 4096,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> Array:
     """Chunked-over-pool EPIG from logit distributions
-    (ref:bayesvlm/epig.py:313-340)."""
+    (ref:bayesvlm/epig.py:313-340). With `mesh`, each chunk's scores are
+    computed pool-row-sharded over `mesh_axis` (sampling stays global,
+    so chunking/seed semantics are unchanged vs the unsharded path)."""
     N_p = logits_pool.mean.shape[0]
     scores = []
     for i in range(0, N_p, chunk_size):
         probs_targ = logits_targ.sample_probas(num_samples, seed=seed + i)
         chunk = logits_pool[slice(i, min(i + chunk_size, N_p))]
         probs_pool = chunk.sample_probas(num_samples, seed=seed + i)
-        scores.append(epig_from_probs_using_matmul(probs_pool, probs_targ))
+        if mesh is not None:
+            scores.append(
+                epig_from_probs_sharded(probs_pool, probs_targ, mesh,
+                                        axis=mesh_axis)
+            )
+        else:
+            scores.append(epig_from_probs_using_matmul(probs_pool, probs_targ))
     return jnp.concatenate(scores, axis=0)
 
 
@@ -186,12 +239,23 @@ def select_epig_online(
     k_nearest_neighbors: int = 1,
     proj_has_bias: bool = False,
     hessian_n0: int = 327_680,
+    mesh="auto",
 ):
     """Online EPIG active learning (ref:bayesvlm/epig.py:44-273).
 
     Returns (selected_indices, epig_scores). `hessian_n0` is the reference's
     hard-coded initial-Hessian sample count (ref:bayesvlm/epig.py:248-251).
+
+    `mesh`: device mesh for pool-row-sharded per-step scoring
+    (epig_from_probs_sharded). "auto" (default) uses the default data
+    mesh when more than one device is visible — the same gating as the
+    AL drivers' batch-sharded feature precompute; pass None to force
+    single-device scoring.
     """
+    if mesh == "auto":
+        from bayesvlm_tpu.dist.mesh import default_mesh
+
+        mesh = default_mesh() if len(jax.devices()) > 1 else None
     cov_info = dict(cov_info)
     key = jax.random.key(seed)
 
@@ -268,6 +332,7 @@ def select_epig_online(
         epig = epig_from_logits_using_matmul(
             logits_pool, logits_targ,
             num_samples=num_samples, chunk_size=chunk_size, seed=seed + i,
+            mesh=mesh,
         )
         order = np.asarray(jnp.argsort(epig))[::-1]
         best = None
