@@ -85,6 +85,79 @@ def _dedup_loop(topk_idx: np.ndarray, topk_val: np.ndarray, k_nearest: int, n_te
     return k_, keep
 
 
+def _resolve_mesh(mesh):
+    """"auto" -> default data mesh when >1 device (the AL drivers'
+    gating), else None."""
+    if mesh == "auto":
+        from bayesvlm_tpu.dist.mesh import default_mesh
+
+        return default_mesh() if len(jax.devices()) > 1 else None
+    return mesh
+
+
+def _sims_topk_sharded(sims_fn, train: EncoderResult, k_cap: int, mesh,
+                       axis: str = "data"):
+    """[N_test, N_train] similarities + exact top-k_cap with TRAIN rows
+    sharded over a mesh axis: per-shard topk_exact on local columns,
+    all_gather the k_cap*n_dev candidates (in device = global column
+    order, so tie order matches the unsharded top-k), combine. The
+    distributed form of ops.topk_exact's two-stage argument — exact.
+    `sims_fn(train_shard)` computes the local similarity columns
+    (row-wise math only, so sharding train rows is transparent).
+    Falls back to dense when the local width cannot cover k_cap.
+    Returns (values, global_ids) replicated. No reference counterpart
+    (single-GPU torch.topk, ref:bayesvlm/knn.py:92); SURVEY §2.7.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    n_train = train.embeds.shape[0]
+    pad = (-n_train) % n_dev
+    width = (n_train + pad) // n_dev
+    if n_dev < 2 or width < k_cap:
+        sims = sims_fn(train)
+        return topk_exact(sims, k_cap)
+    if pad:
+        # zero-row padding is masked to -inf below (by global id), so it
+        # can never displace a real column
+        train = EncoderResult(
+            embeds=jnp.concatenate(
+                [train.embeds, jnp.zeros((pad,) + train.embeds.shape[1:],
+                                         train.embeds.dtype)]),
+            activations=jnp.concatenate(
+                [train.activations,
+                 jnp.zeros((pad,) + train.activations.shape[1:],
+                           train.activations.dtype)]),
+            residuals=jnp.concatenate(
+                [train.residuals,
+                 jnp.zeros((pad,) + train.residuals.shape[1:],
+                           train.residuals.dtype)]),
+        )
+
+    def per_shard(tr):
+        sims = sims_fn(tr)                                   # [N_t, width]
+        gid0 = jax.lax.axis_index(axis) * width
+        valid = (gid0 + jnp.arange(width))[None, :] < n_train
+        sims = jnp.where(valid, sims, -jnp.inf)
+        v, i = topk_exact(sims, k_cap)
+        g = i + gid0
+        # gather candidates from all shards in device (= global column)
+        # order; ties then resolve exactly as in a dense top-k
+        vg = jax.lax.all_gather(v, axis)                     # [n_dev, N_t, k]
+        gg = jax.lax.all_gather(g, axis)
+        vg = jnp.swapaxes(vg, 0, 1).reshape(v.shape[0], n_dev * k_cap)
+        gg = jnp.swapaxes(gg, 0, 1).reshape(v.shape[0], n_dev * k_cap)
+        v2, i2 = jax.lax.top_k(vg, k_cap)
+        return v2, jnp.take_along_axis(gg, i2, axis=-1)
+
+    return shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis),), out_specs=(P(), P()),
+        check_vma=False,
+    )(train)
+
+
 def _collect(
     topk_idx, topk_val, k_, keep, indices_test, values_test
 ) -> OrderedDict:
@@ -109,17 +182,23 @@ def find_similar_samples_cosine(
     source_covariance: KroneckerFactorizedCovariance,
     buffersize: int = 150,
     has_bias: bool = False,
+    mesh="auto",
 ) -> OrderedDict:
-    """ref:bayesvlm/knn.py:39-137."""
+    """ref:bayesvlm/knn.py:39-137. `mesh`: shard the train pool's
+    similarity columns over the data mesh ("auto" = when >1 device;
+    exact — see _sims_topk_sharded)."""
     idx = jnp.asarray(indices_test)
     test_sub = test[idx]
-    sims = expected_cosine_similarity(
-        test_sub, train,
-        source_covariance.A_inv, jnp.diagonal(source_covariance.B_inv),
-        has_bias=has_bias,
-    )
+    A_inv = source_covariance.A_inv
+    B_diag = jnp.diagonal(source_covariance.B_inv)
     k_cap = min(k_nearest + buffersize, train.embeds.shape[0])
-    vals, ids = topk_exact(sims, k_cap)
+    mesh = _resolve_mesh(mesh)
+    sims_fn = lambda tr: expected_cosine_similarity(
+        test_sub, tr, A_inv, B_diag, has_bias=has_bias)
+    if mesh is None:
+        vals, ids = topk_exact(sims_fn(train), k_cap)
+    else:
+        vals, ids = _sims_topk_sharded(sims_fn, train, k_cap, mesh)
     ids_np, vals_np = np.asarray(ids), np.asarray(vals)
     n_test = len(np.asarray(indices_test))
     k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)
@@ -135,18 +214,25 @@ def find_similar_samples_wasserstein(
     source_covariance: KroneckerFactorizedCovariance,
     buffersize: int = 150,
     has_bias: bool = False,
+    mesh="auto",
 ) -> OrderedDict:
-    """ref:bayesvlm/knn.py:139-220 (similarity = -wdist2)."""
+    """ref:bayesvlm/knn.py:139-220 (similarity = -wdist2). `mesh`: as
+    in find_similar_samples_cosine."""
     idx = jnp.asarray(indices_test)
     test_sub = test[idx]
     cov = source_covariance
-    train_diag = activation_diag_covariance(
-        train.activations, cov, has_bias
-    )
     test_diag = activation_diag_covariance(test_sub.activations, cov, has_bias)
-    sims = -wdist2(test_sub.embeds, train.embeds, test_diag, train_diag)
     k_cap = min(k_nearest + buffersize, train.embeds.shape[0])
-    vals, ids = topk_exact(sims, k_cap)
+    mesh = _resolve_mesh(mesh)
+
+    def sims_fn(tr):
+        tr_diag = activation_diag_covariance(tr.activations, cov, has_bias)
+        return -wdist2(test_sub.embeds, tr.embeds, test_diag, tr_diag)
+
+    if mesh is None:
+        vals, ids = topk_exact(sims_fn(train), k_cap)
+    else:
+        vals, ids = _sims_topk_sharded(sims_fn, train, k_cap, mesh)
     ids_np, vals_np = np.asarray(ids), np.asarray(vals)
     n_test = len(np.asarray(indices_test))
     k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)
