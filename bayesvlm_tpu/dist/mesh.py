@@ -39,6 +39,16 @@ def default_mesh() -> Mesh:
     return make_mesh()
 
 
+def resolve_auto_mesh(mesh):
+    """Shared "auto" gating for selection-layer entry points: "auto" ->
+    the default data mesh when more than one device is visible (the same
+    gating as the AL drivers' batch-sharded precompute), else pass
+    through (None disables sharding, an explicit Mesh forces it)."""
+    if isinstance(mesh, str) and mesh == "auto":
+        return default_mesh() if len(jax.devices()) > 1 else None
+    return mesh
+
+
 def data_sharding(mesh: Mesh, ndim: int = 2, axis: str = "data") -> NamedSharding:
     """Shard dim 0 over the data axis, replicate the rest."""
     spec = [axis] + [None] * (ndim - 1)

@@ -80,29 +80,68 @@ def expected_gradient_length(
     logit_bias=0.0,
     proj_has_bias: bool = False,
     chunk_size: int = 8192,
+    mesh="auto",
 ) -> Array:
     """EGL scores [N] for all candidates.
 
     `prob_logits` are the precomputed probabilistic logits of the
     candidates; the probit softmax of them provides the expectation weights
-    (ref:scripts/activelearning_elg.py:392,461)."""
+    (ref:scripts/activelearning_elg.py:392,461).
+
+    EGL is per-candidate-row, so with a `mesh` each chunk is scored
+    candidate-row-sharded over the data axis (text replicated, zero
+    collectives — same shape of distribution as epig_from_probs_sharded;
+    exact up to XLA reassociation at local shapes). "auto" = shard when
+    more than one device is visible."""
+    from bayesvlm_tpu.dist.mesh import resolve_auto_mesh
+
     Yn = text_outputs.embeds / jnp.linalg.norm(
         text_outputs.embeds, axis=-1, keepdims=True
     )
     probs = prob_logits.probit_softmax()
     s = jnp.asarray(logit_scale, jnp.float32)
     b = jnp.asarray(logit_bias, jnp.float32)
+    mesh = resolve_auto_mesh(mesh)
+
+    def score_rows_dense(emb, act, prb):
+        return _egl_chunk(emb, act, prb, Yn, s, b, proj_has_bias)
+
+    score_rows = score_rows_dense
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+
+        def score_rows_sharded(emb, act, prb):
+            n = emb.shape[0]
+            pad = (-n) % n_dev
+            if pad:
+                emb = jnp.concatenate([emb, jnp.ones((pad,) + emb.shape[1:],
+                                                     emb.dtype)])
+                act = jnp.concatenate([act, jnp.ones((pad,) + act.shape[1:],
+                                                     act.dtype)])
+                prb = jnp.concatenate(
+                    [prb, jnp.full((pad,) + prb.shape[1:],
+                                   1.0 / prb.shape[-1], prb.dtype)])
+            out = shard_map(
+                score_rows_dense, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=P("data"), check_vma=False,
+            )(emb, act, prb)
+            return out[:n]
+
+        score_rows = score_rows_sharded
 
     N = len(image_outputs)
     out = []
     for start in range(0, N, chunk_size):
         sl = slice(start, min(start + chunk_size, N))
         out.append(
-            _egl_chunk(
+            score_rows(
                 image_outputs.embeds[sl],
                 image_outputs.activations[sl],
                 probs[sl],
-                Yn, s, b, proj_has_bias,
             )
         )
     return jnp.concatenate(out, axis=0)

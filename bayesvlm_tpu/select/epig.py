@@ -252,10 +252,9 @@ def select_epig_online(
     AL drivers' batch-sharded feature precompute; pass None to force
     single-device scoring.
     """
-    if mesh == "auto":
-        from bayesvlm_tpu.dist.mesh import default_mesh
+    from bayesvlm_tpu.dist.mesh import resolve_auto_mesh
 
-        mesh = default_mesh() if len(jax.devices()) > 1 else None
+    mesh = resolve_auto_mesh(mesh)
     cov_info = dict(cov_info)
     key = jax.random.key(seed)
 

@@ -56,12 +56,27 @@ def cluster_and_select_representatives(
     k_clusters: int,
     seed: int = 0,
     num_iters: int = 100,
+    mesh="auto",
 ) -> Tuple[Array, EncoderResult]:
     """K-means over train embeddings; pick the sample closest to each
     centroid; dedupe (ref:scripts/activelearning_kmeans.py:94-164).
 
+    With a `mesh`, the embedding rows are placed sharded over the data
+    axis and GSPMD partitions every Lloyd iteration (the [N, K] distance
+    GEMM and argmin are row-local; XLA inserts the psum for the
+    centroid sums). "auto" = shard when more than one device is
+    visible; results can differ from single-device only by float
+    reassociation of the per-centroid sums.
+
     Returns (representative_indices [<=k], representative EncoderResult)."""
+    from bayesvlm_tpu.dist.mesh import resolve_auto_mesh
+
     embeds = jnp.asarray(train_outputs.embeds, jnp.float32)
+    mesh = resolve_auto_mesh(mesh)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        embeds = jax.device_put(embeds, NamedSharding(mesh, P("data", None)))
     centroids, _ = kmeans_fit(embeds, k_clusters, seed=seed, num_iters=num_iters)
 
     # closest sample to each centroid (argmin over N per centroid)

@@ -86,13 +86,9 @@ def _dedup_loop(topk_idx: np.ndarray, topk_val: np.ndarray, k_nearest: int, n_te
 
 
 def _resolve_mesh(mesh):
-    """"auto" -> default data mesh when >1 device (the AL drivers'
-    gating), else None."""
-    if mesh == "auto":
-        from bayesvlm_tpu.dist.mesh import default_mesh
+    from bayesvlm_tpu.dist.mesh import resolve_auto_mesh
 
-        return default_mesh() if len(jax.devices()) > 1 else None
-    return mesh
+    return resolve_auto_mesh(mesh)
 
 
 def _sims_topk_sharded(sims_fn, train: EncoderResult, k_cap: int, mesh,
