@@ -76,6 +76,119 @@ def bench_hessian():
     )
 
 
+def bench_epig():
+    """AL-step EPIG scoring at the reference operating point (pool 4000 x
+    targets 2000 x C=65, S=100 MC samples) — fused Pallas joint-entropy
+    kernel on TPU (select/epig_pallas.py; BASELINE.md round 3)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bayesvlm_tpu.select.epig import epig_from_probs_using_matmul
+
+    N_p, N_t, K, C = 4000, 2000, 100, 65
+    rng = np.random.default_rng(0)
+    mk = lambda n: jnp.asarray(
+        jax.nn.softmax(jnp.asarray(rng.normal(size=(n, K, C)).astype(np.float32)), -1)
+    )
+    pool, targ = mk(N_p), mk(N_t)
+
+    @jax.jit
+    def loop(pool, targ):
+        def body(i, carry):
+            p = pool + (carry * 1e-20)
+            return epig_from_probs_using_matmul(p, targ)[0] * 1e-20
+        return jax.lax.fori_loop(0, 5, body, jnp.float32(0.0))
+
+    float(loop(pool, targ))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(pool, targ))
+        dt = (time.perf_counter() - t0) / 5
+        best = dt if best is None else min(best, dt)
+    # vs_baseline: reference fp16 torch chunked matmul on A100 at the
+    # same nominal TFLOP/s assumption as the headline metric is not
+    # published; report vs our own measured XLA path (52.9 ms).
+    print(
+        json.dumps(
+            {
+                "metric": "epig_al_step_scoring",
+                "value": round(best * 1e3, 1),
+                "unit": "ms/step",
+                "vs_baseline": round(52.9 / (best * 1e3), 2),
+            }
+        )
+    )
+
+
+def bench_knn():
+    """Probabilistic kNN device step at reference AL scale
+    ([512 x 100k] expected-cosine sims + exact top-160; BASELINE.md)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bayesvlm_tpu.ops import topk_exact
+    from bayesvlm_tpu.select.knn import expected_cosine_similarity
+    from bayesvlm_tpu.types import EncoderResult
+
+    N_TEST, N_TRAIN, D, P, K_CAP = 512, 100_000, 512, 768, 160
+    rng = np.random.default_rng(0)
+
+    def mk(n):
+        return EncoderResult(
+            embeds=jnp.asarray(rng.normal(size=(n, D)), jnp.float32),
+            activations=jnp.asarray(rng.normal(size=(n, P)), jnp.float32),
+            residuals=jnp.zeros((n, D), jnp.float32),
+        )
+
+    test, train = mk(N_TEST), mk(N_TRAIN)
+    A_inv = jnp.asarray(rng.normal(size=(P, P)), jnp.float32)
+    A_inv = A_inv @ A_inv.T / P + jnp.eye(P)
+    B_diag = jnp.abs(jnp.asarray(rng.normal(size=(D,)), jnp.float32)) + 0.1
+
+    @jax.jit
+    def loop(test, train, A_inv, B_diag):
+        def body(i, carry):
+            te = EncoderResult(
+                embeds=test.embeds + carry * 1e-20,
+                activations=test.activations, residuals=test.residuals,
+            )
+            sims = expected_cosine_similarity(te, train, A_inv, B_diag)
+            vals, _ = topk_exact(sims, K_CAP)
+            return vals[0, 0] * 1e-20
+        return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
+
+    float(loop(test, train, A_inv, B_diag))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(test, train, A_inv, B_diag))
+        dt = (time.perf_counter() - t0) / 10
+        best = dt if best is None else min(best, dt)
+    print(
+        json.dumps(
+            {
+                "metric": "knn_sims_topk_step",
+                "value": round(best * 1e3, 1),
+                "unit": "ms/step",
+                "vs_baseline": round(84.5 / (best * 1e3), 2),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -182,5 +295,9 @@ def main():
 if __name__ == "__main__":
     if "--metric" in sys.argv and "hessian" in sys.argv:
         bench_hessian()
+    elif "--metric" in sys.argv and "epig" in sys.argv:
+        bench_epig()
+    elif "--metric" in sys.argv and "knn" in sys.argv:
+        bench_knn()
     else:
         main()
