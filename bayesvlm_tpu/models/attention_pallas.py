@@ -341,6 +341,11 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             bytes_accessed=4 * B * T * D * q.dtype.itemsize,
             transcendentals=B * num_heads * T * T,
         ),
+        # batch rows are independent: parallel semantics lets Mosaic
+        # overlap grid iterations (measured 1.139 -> 1.106 ms at B=80)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         # CPU (tests, virtual meshes): run the kernel in interpret mode
         interpret=interpret,
     )(q, k, v)
