@@ -124,6 +124,11 @@ def joint_xlogy_rowsums(
                             + m_pad * 4),
             transcendentals=m_pad * n_pad,
         ),
+        # j (targ blocks) accumulates into the scratch -> arbitrary;
+        # pool blocks i are independent -> parallel
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel"),
+        ),
         interpret=interpret,
     )(bt, a)
     return out[0, :M]
