@@ -1,0 +1,170 @@
+"""One-call serving API for probabilistic zero-shot inference.
+
+The reference exposes its pipeline only through scripts
+(ref:scripts/zeroshot.py:25-128); a user deploying it must re-assemble
+load_model + load_hessians + optimize_prior_precision +
+compute_covariances + precompute + probit by hand. `ProbabilisticVLM`
+packages that exact Stage-2 chain behind one constructor and one call,
+with the same semantics (lambda re-opt with pseudo_data_count=10,
+init 300, 1000 Adam steps; probit softmax when num_samples=0;
+MC sampling otherwise) and the TPU-native conveniences: bf16 towers,
+batch-sharded GSPMD inference when more than one device is visible,
+cached class-prompt features for repeated serving calls.
+
+    vlm = ProbabilisticVLM.from_pretrained(
+        "clip-base", hessian_dir, weights_dir=..., tokenizer_dir=...)
+    vlm.set_class_prompts(["An image of a cat", "An image of a dog"])
+    probs = vlm.predict(images)           # [B, C] calibrated probs
+    logits = vlm.logits(images)           # ProbabilisticLogits (mean+var)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesvlm_tpu.types import EncoderResult, ProbabilisticLogits
+
+
+class ProbabilisticVLM:
+    def __init__(self, image_encoder, text_encoder, head, info: dict,
+                 transform=None, mesh=None):
+        self.image_encoder = image_encoder
+        self.text_encoder = text_encoder
+        self.head = head
+        self.info = dict(info)
+        self.transform = transform
+        self.mesh = mesh
+        self._label_features: Optional[EncoderResult] = None
+
+    # -- construction ---------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_str: str,
+        hessian_dir: str,
+        weights_dir: Optional[str] = None,
+        tokenizer_dir: Optional[str] = None,
+        pseudo_data_count: int = 10,
+        dtype: str = "bf16",
+        mesh="auto",
+        lambda_init: float = 300.0,
+        prior_lr: float = 1e-2,
+        prior_num_steps: int = 1000,
+    ) -> "ProbabilisticVLM":
+        """Load towers + K-FAC posterior and finalize covariances — the
+        Stage-2 preamble (ref:scripts/zeroshot.py:54-94) as one call."""
+        from bayesvlm_tpu.bayes.kfac import compute_covariances
+        from bayesvlm_tpu.bayes.prior import optimize_prior_precision
+        from bayesvlm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+        from bayesvlm_tpu.data.transforms import get_transform
+        from bayesvlm_tpu.dist.mesh import resolve_auto_mesh
+        from bayesvlm_tpu.io.artifacts import load_hessians
+        from bayesvlm_tpu.models import load_model
+        from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+        from bayesvlm_tpu.utils import get_image_size
+
+        config = CONFIGS_BY_NAME[model_str]
+        jdtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[dtype]
+        image_encoder, text_encoder, head = load_model(
+            model_str, weights_dir=weights_dir, dtype=jdtype
+        )
+        mesh = resolve_auto_mesh(mesh)
+        if mesh is not None:
+            image_encoder = image_encoder.with_mesh(mesh)
+        if tokenizer_dir is not None:
+            text_encoder.tokenizer = HFTokenizer.from_local(
+                tokenizer_dir, config.text.max_length
+            )
+        elif text_encoder.tokenizer is None:
+            text_encoder.tokenizer = HashTokenizer(
+                config.text.vocab_size, config.text.max_length,
+                eos_id=config.text.eos_token_id,
+            )
+
+        A_img, B_img = load_hessians(hessian_dir, tag="img")
+        A_txt, B_txt = load_hessians(hessian_dir, tag="txt")
+        info = {"n_img": pseudo_data_count, "n_txt": pseudo_data_count}
+        info["lambda_img"] = float(optimize_prior_precision(
+            image_encoder.projection_l2(),
+            image_encoder.projection_num_params(),
+            A=A_img, B=B_img, lmbda_init=lambda_init, n=info["n_img"],
+            lr=prior_lr, num_steps=prior_num_steps,
+        ))
+        info["lambda_txt"] = float(optimize_prior_precision(
+            text_encoder.projection_l2(),
+            text_encoder.projection_num_params(),
+            A=A_txt, B=B_txt, lmbda_init=lambda_init, n=info["n_txt"],
+            lr=prior_lr, num_steps=prior_num_steps,
+        ))
+        cov_img, cov_txt = compute_covariances(A_img, B_img, A_txt, B_txt, info)
+        head = head.set_covariances(cov_img, cov_txt)
+        transform = get_transform(config.family, get_image_size(model_str))
+        return cls(image_encoder, text_encoder, head, info,
+                   transform=transform, mesh=mesh)
+
+    # -- encoding -------------------------------------------------------
+
+    def _pixels(self, images) -> jnp.ndarray:
+        """Accept NHWC float arrays (already normalized) or PIL images
+        (run through the model's reference transform)."""
+        if isinstance(images, (list, tuple)):
+            if self.transform is None:
+                raise ValueError("PIL inputs need a transform; construct "
+                                 "via from_pretrained")
+            images = np.stack([self.transform(im) for im in images])
+        return jnp.asarray(images)
+
+    def encode_images(self, images) -> EncoderResult:
+        return self.image_encoder(self._pixels(images))
+
+    def encode_texts(self, prompts: Sequence[str]) -> EncoderResult:
+        return self.text_encoder.encode_texts(list(prompts))
+
+    def set_class_prompts(self, prompts: Sequence[str]) -> "ProbabilisticVLM":
+        """Embed and cache the label set once for repeated predict calls."""
+        self._label_features = self.encode_texts(prompts)
+        return self
+
+    # -- inference ------------------------------------------------------
+
+    def logits(self, images, class_prompts: Optional[Sequence[str]] = None,
+               batch_size: int = 256) -> ProbabilisticLogits:
+        """Probabilistic similarity logits (mean + variance) of images
+        vs the class prompts (ref:bayesvlm/precompute.py:18-65 +
+        vlm.py:630-684 semantics)."""
+        if class_prompts is not None:
+            labels = self.encode_texts(class_prompts)
+        elif self._label_features is not None:
+            labels = self._label_features
+        else:
+            raise ValueError("pass class_prompts or call set_class_prompts")
+        feats = images if isinstance(images, EncoderResult) \
+            else self.encode_images(images)
+        if self.mesh is not None:
+            from bayesvlm_tpu.inference.predictions import (
+                make_predictions_sharded,
+            )
+
+            return make_predictions_sharded(self.head, feats, labels,
+                                            self.mesh)
+        from bayesvlm_tpu.inference.predictions import make_predictions
+
+        return make_predictions(self.head, feats, labels,
+                                batch_size=batch_size)
+
+    def predict(self, images, class_prompts: Optional[Sequence[str]] = None,
+                num_samples: int = 0, seed: int = 0,
+                batch_size: int = 256) -> jnp.ndarray:
+        """Calibrated class probabilities [B, C]: probit approximation
+        when num_samples=0 (ref:scripts/zeroshot.py:119-120), MC softmax
+        otherwise (ref:bayesvlm/vlm.py:80-103)."""
+        pl = self.logits(images, class_prompts, batch_size=batch_size)
+        if num_samples == 0:
+            kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi / 8 * pl.var)
+            return jax.nn.softmax(kappa * pl.mean, axis=-1)
+        return pl.softmax(num_samples=num_samples, seed=seed)

@@ -1,0 +1,121 @@
+"""ProbabilisticVLM serving API: the one-call wrapper must reproduce the
+manually-assembled Stage-2 chain (same lambdas, same probit probs), and
+its conveniences (PIL inputs, cached class prompts, mesh auto-sharding,
+MC sampling) must work."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from bayesvlm_tpu.bayes.kfac import compute_covariances
+from bayesvlm_tpu.bayes.prior import optimize_prior_precision
+from bayesvlm_tpu.data.tokenizer import HashTokenizer
+from bayesvlm_tpu.inference.predictions import make_predictions
+from bayesvlm_tpu.io.artifacts import (
+    load_hessians,
+    save_hessians,
+    save_prior_precision,
+)
+from bayesvlm_tpu.models import load_model
+from bayesvlm_tpu.models.configs import TINY_CLIP_CONFIG
+from bayesvlm_tpu.pipeline import ProbabilisticVLM
+
+PROMPTS = [f"An image of a thing {i}" for i in range(4)]
+
+
+@pytest.fixture(scope="module")
+def hessian_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pipeline_hessians")
+    rng = np.random.default_rng(0)
+
+    def spd(d, s=0.5):
+        M = rng.normal(size=(d, d)).astype(np.float32)
+        return M @ M.T / d * s + np.eye(d, dtype=np.float32)
+
+    P, D, Pt = (TINY_CLIP_CONFIG.vision.hidden_size,
+                TINY_CLIP_CONFIG.vision.projection_dim,
+                TINY_CLIP_CONFIG.text.hidden_size)
+    save_hessians(tmp, spd(P), spd(D), "img")
+    save_hessians(tmp, spd(Pt), spd(D), "txt")
+    save_prior_precision(tmp, 5.0, 1.0, 5.0, 1.0)
+    return tmp
+
+
+def _images(n=6, size=32, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, size, size, 3)).astype(np.float32)
+
+
+def test_matches_manual_stage2_chain(hessian_dir):
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    )
+    imgs = _images()
+    probs = np.asarray(vlm.predict(imgs, class_prompts=PROMPTS))
+    assert probs.shape == (6, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+    # manual chain with identical defaults (zeroshot.py semantics)
+    img_enc, txt_enc, head = load_model("tiny-clip", dtype=jnp.float32)
+    txt_enc.tokenizer = HashTokenizer(
+        TINY_CLIP_CONFIG.text.vocab_size, TINY_CLIP_CONFIG.text.max_length,
+        eos_id=TINY_CLIP_CONFIG.text.eos_token_id,
+    )
+    A_img, B_img = load_hessians(hessian_dir, "img")
+    A_txt, B_txt = load_hessians(hessian_dir, "txt")
+    info = {"n_img": 10, "n_txt": 10}
+    info["lambda_img"] = float(optimize_prior_precision(
+        img_enc.projection_l2(), img_enc.projection_num_params(),
+        A=A_img, B=B_img, lmbda_init=300, n=10, lr=1e-2, num_steps=50))
+    info["lambda_txt"] = float(optimize_prior_precision(
+        txt_enc.projection_l2(), txt_enc.projection_num_params(),
+        A=A_txt, B=B_txt, lmbda_init=300, n=10, lr=1e-2, num_steps=50))
+    cov_img, cov_txt = compute_covariances(A_img, B_img, A_txt, B_txt, info)
+    head = head.set_covariances(cov_img, cov_txt)
+    pl = make_predictions(head, img_enc(jnp.asarray(imgs)),
+                          txt_enc.encode_texts(PROMPTS), batch_size=4)
+    kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi / 8 * pl.var)
+    ref = np.asarray(jax.nn.softmax(kappa * pl.mean, axis=-1))
+
+    assert vlm.info["lambda_img"] == pytest.approx(info["lambda_img"])
+    assert vlm.info["lambda_txt"] == pytest.approx(info["lambda_txt"])
+    np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_cached_prompts_pil_inputs_and_mc(hessian_dir):
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=20, mesh=None,
+    ).set_class_prompts(PROMPTS)
+
+    rng = np.random.default_rng(2)
+    pils = [Image.fromarray(rng.integers(0, 255, (40, 48, 3), np.uint8))
+            for _ in range(3)]
+    probs = np.asarray(vlm.predict(pils))
+    assert probs.shape == (3, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+    mc = np.asarray(vlm.predict(pils, num_samples=16, seed=3))
+    assert mc.shape == (3, 4)
+    np.testing.assert_allclose(mc.sum(-1), 1.0, rtol=1e-4)
+    assert not np.allclose(mc, probs)  # MC differs from probit
+
+
+def test_auto_mesh_matches_single_device(hessian_dir):
+    # conftest forces 8 virtual CPU devices -> "auto" shards inference
+    vlm_sharded = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=20, mesh="auto",
+    )
+    assert vlm_sharded.mesh is not None
+    vlm_dense = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=20, mesh=None,
+    )
+    imgs = _images(n=7)  # uneven vs the 8-device mesh
+    ps = np.asarray(vlm_sharded.predict(imgs, class_prompts=PROMPTS))
+    pd = np.asarray(vlm_dense.predict(imgs, class_prompts=PROMPTS))
+    np.testing.assert_allclose(ps, pd, rtol=1e-5, atol=1e-6)
