@@ -41,11 +41,20 @@ def default_mesh() -> Mesh:
 
 def resolve_auto_mesh(mesh):
     """Shared "auto" gating for selection-layer entry points: "auto" ->
-    the default data mesh when more than one device is visible (the same
-    gating as the AL drivers' batch-sharded precompute), else pass
-    through (None disables sharding, an explicit Mesh forces it)."""
+    a data mesh over the LOCAL devices when more than one is visible,
+    else pass through (None disables sharding, an explicit Mesh forces
+    it).
+
+    Local, not global, on purpose: selection entry points take
+    process-local arrays and fetch results to host, which a global
+    multi-controller mesh would forbid (non-addressable outputs). Under
+    multi-process launch each process therefore shards its (replicated)
+    selection math over its own chips — consistent across processes
+    because inputs and seeds are identical. Pass an explicit global
+    mesh only with globally-sharded inputs."""
     if isinstance(mesh, str) and mesh == "auto":
-        return default_mesh() if len(jax.devices()) > 1 else None
+        local = jax.local_devices()
+        return make_mesh(local) if len(local) > 1 else None
     return mesh
 
 
