@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,8 +118,17 @@ class ProbabilisticVLM:
             images = np.stack([self.transform(im) for im in images])
         return jnp.asarray(images)
 
-    def encode_images(self, images) -> EncoderResult:
-        return self.image_encoder(self._pixels(images))
+    def encode_images(self, images, batch_size: int = 256) -> EncoderResult:
+        """Encode in fixed-size batches (one jit signature, bounded
+        device memory for large serving batches)."""
+        pixels = self._pixels(images)
+        n = pixels.shape[0]
+        if n <= batch_size:
+            return self.image_encoder(pixels)
+        return EncoderResult.concatenate([
+            self.image_encoder(pixels[i:i + batch_size])
+            for i in range(0, n, batch_size)
+        ])
 
     def encode_texts(self, prompts: Sequence[str]) -> EncoderResult:
         return self.text_encoder.encode_texts(list(prompts))
@@ -144,14 +152,21 @@ class ProbabilisticVLM:
         else:
             raise ValueError("pass class_prompts or call set_class_prompts")
         feats = images if isinstance(images, EncoderResult) \
-            else self.encode_images(images)
+            else self.encode_images(images, batch_size=batch_size)
         if self.mesh is not None:
             from bayesvlm_tpu.inference.predictions import (
                 make_predictions_sharded,
             )
 
-            return make_predictions_sharded(self.head, feats, labels,
-                                            self.mesh)
+            # honor batch_size on the sharded path too: chunk the head
+            # program so large serving sets never land on device whole
+            n = len(feats)
+            step = max(batch_size, self.mesh.devices.size)
+            return ProbabilisticLogits.concatenate([
+                make_predictions_sharded(
+                    self.head, feats[i:i + step], labels, self.mesh)
+                for i in range(0, n, step)
+            ])
         from bayesvlm_tpu.inference.predictions import make_predictions
 
         return make_predictions(self.head, feats, labels,
@@ -162,9 +177,8 @@ class ProbabilisticVLM:
                 batch_size: int = 256) -> jnp.ndarray:
         """Calibrated class probabilities [B, C]: probit approximation
         when num_samples=0 (ref:scripts/zeroshot.py:119-120), MC softmax
-        otherwise (ref:bayesvlm/vlm.py:80-103)."""
+        otherwise (ref:bayesvlm/vlm.py:80-103). Delegates to
+        ProbabilisticLogits.softmax, which handles the full-covariance
+        variance shape correctly as well."""
         pl = self.logits(images, class_prompts, batch_size=batch_size)
-        if num_samples == 0:
-            kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi / 8 * pl.var)
-            return jax.nn.softmax(kappa * pl.mean, axis=-1)
         return pl.softmax(num_samples=num_samples, seed=seed)

@@ -63,7 +63,12 @@ def epig_from_probs_using_matmul(
     if use_pallas:
         from bayesvlm_tpu.select.epig_pallas import epig_from_probs_pallas
 
-        return epig_from_probs_pallas(probs_pool, probs_targ)
+        # explicit use_pallas=True off-TPU runs the kernel in interpret
+        # mode (same contract as fused_attention)
+        return epig_from_probs_pallas(
+            probs_pool, probs_targ,
+            interpret=jax.default_backend() != "tpu",
+        )
 
     N_t, K, C = probs_targ.shape
 

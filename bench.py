@@ -29,6 +29,31 @@ A100_BASELINE_IMG_S = 1000.0
 N_CHIPS_TARGET = 8  # v5e-8 slice; DP-linear workload
 
 
+def _best_ms(loop, args, n_iter, reps=3):
+    """Best per-iteration wall time of a jitted in-graph serialized loop
+    (the tunnel-safe timing recipe: each iteration depends on the
+    previous result; float() fetch is the hard sync). Change timing
+    methodology HERE only — the fori_loop metrics (headline, epig, knn)
+    share it; bench_hessian keeps its two-program host-sync form."""
+    import time
+
+    float(loop(*args))  # compile + warmup
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        dt = (time.perf_counter() - t0) / n_iter
+        best = dt if best is None else min(best, dt)
+    return best * 1e3
+
+
+def _report(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric, "value": value, "unit": unit,
+        "vs_baseline": vs_baseline,
+    }))
+
+
 def bench_hessian():
     """Secondary metric: K-FAC GGN accumulation pairs/sec (ViT-B/32 shapes).
     Reference baseline is the analytic estimate in BASELINE.md (~1k
@@ -105,26 +130,12 @@ def bench_epig():
             return epig_from_probs_using_matmul(p, targ)[0] * 1e-20
         return jax.lax.fori_loop(0, 5, body, jnp.float32(0.0))
 
-    float(loop(pool, targ))
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(loop(pool, targ))
-        dt = (time.perf_counter() - t0) / 5
-        best = dt if best is None else min(best, dt)
+    ms = _best_ms(loop, (pool, targ), n_iter=5)
     # vs_baseline: reference fp16 torch chunked matmul on A100 at the
     # same nominal TFLOP/s assumption as the headline metric is not
     # published; report vs our own measured XLA path (52.9 ms).
-    print(
-        json.dumps(
-            {
-                "metric": "epig_al_step_scoring",
-                "value": round(best * 1e3, 1),
-                "unit": "ms/step",
-                "vs_baseline": round(52.9 / (best * 1e3), 2),
-            }
-        )
-    )
+    _report("epig_al_step_scoring", round(ms, 1), "ms/step",
+            round(52.9 / ms, 2))
 
 
 def bench_knn():
@@ -170,23 +181,9 @@ def bench_knn():
             return vals[0, 0] * 1e-20
         return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
 
-    float(loop(test, train, A_inv, B_diag))
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(loop(test, train, A_inv, B_diag))
-        dt = (time.perf_counter() - t0) / 10
-        best = dt if best is None else min(best, dt)
-    print(
-        json.dumps(
-            {
-                "metric": "knn_sims_topk_step",
-                "value": round(best * 1e3, 1),
-                "unit": "ms/step",
-                "vs_baseline": round(84.5 / (best * 1e3), 2),
-            }
-        )
-    )
+    ms = _best_ms(loop, (test, train, A_inv, B_diag), n_iter=10)
+    _report("knn_sims_topk_step", round(ms, 1), "ms/step",
+            round(84.5 / ms, 2))
 
 
 def main():
@@ -271,24 +268,12 @@ def main():
             return jnp.sum(probs[0]).astype(jnp.float32)
         return jax.lax.fori_loop(0, N_ITER, body, jnp.float32(0.0))
 
-    float(loop(params, pixels))  # compile + warmup (host fetch = hard sync)
-
-    best = 0.0
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(loop(params, pixels))
-        dt = time.perf_counter() - t0
-        best = max(best, B * N_ITER / dt)
-
-    print(
-        json.dumps(
-            {
-                "metric": "clip_vitl14_probabilistic_zeroshot_throughput",
-                "value": round(best, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(best * N_CHIPS_TARGET / A100_BASELINE_IMG_S, 3),
-            }
-        )
+    ms = _best_ms(loop, (params, pixels), n_iter=N_ITER, reps=5)
+    best = B * 1e3 / ms
+    _report(
+        "clip_vitl14_probabilistic_zeroshot_throughput",
+        round(best, 1), "images/sec/chip",
+        round(best * N_CHIPS_TARGET / A100_BASELINE_IMG_S, 3),
     )
 
 

@@ -32,7 +32,7 @@ def make_demo_hessians(path: str) -> str:
     save_hessians(path, spd(cfg.vision.hidden_size),
                   spd(cfg.vision.projection_dim), "img")
     save_hessians(path, spd(cfg.text.hidden_size),
-                  spd(cfg.vision.projection_dim), "txt")
+                  spd(cfg.text.projection_dim), "txt")
     save_prior_precision(path, 5.0, 1.0, 5.0, 1.0)
     return path
 

@@ -62,6 +62,42 @@ def test_rowsums_padding_is_transparent():
     np.testing.assert_allclose(got, expected, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
+def test_rowsums_true_multi_tile_grid():
+    """m=1100, n=4200 pad to a (nj=2, ni=2) grid — exercises the
+    cross-sweep scratch accumulation (@pl.when(j>0)), the final-sweep
+    output write, and the pl.ds scratch slicing, which the small cases
+    (grid (1,1)) never reach."""
+    rng = np.random.default_rng(3)
+    m, n, k = 1100, 4200, 11
+    a = rng.uniform(0.0, 1.0, size=(m, k)).astype(np.float32)
+    b = rng.uniform(0.0, 1.0, size=(n, k)).astype(np.float32)
+
+    got = np.asarray(
+        joint_xlogy_rowsums(
+            jnp.asarray(a), jnp.asarray(b), num_samples=k, interpret=True
+        )
+    )
+    j = (a @ b.T) / k
+    expected = np.where(j > 0, j * np.log(j), 0.0).sum(axis=1)
+    np.testing.assert_allclose(got, expected, rtol=5e-3, atol=5e-3)
+
+
+def test_explicit_pallas_on_cpu_uses_interpret():
+    """use_pallas=True off-TPU must run the kernel in interpret mode
+    (not crash on a non-TPU backend) and agree with the XLA path."""
+    rng = np.random.default_rng(4)
+    probs_pool = _probs(rng, 9, 5, 4)
+    probs_targ = _probs(rng, 7, 5, 4)
+    ref = np.asarray(
+        epig_from_probs_using_matmul(probs_pool, probs_targ, use_pallas=False)
+    )
+    got = np.asarray(
+        epig_from_probs_using_matmul(probs_pool, probs_targ, use_pallas=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_public_entry_auto_select_runs_on_cpu():
     """use_pallas=None must fall back to the XLA path off-TPU and agree
     with the explicit use_pallas=False call bitwise."""

@@ -119,3 +119,12 @@ def test_auto_mesh_matches_single_device(hessian_dir):
     ps = np.asarray(vlm_sharded.predict(imgs, class_prompts=PROMPTS))
     pd = np.asarray(vlm_dense.predict(imgs, class_prompts=PROMPTS))
     np.testing.assert_allclose(ps, pd, rtol=1e-5, atol=1e-6)
+
+    # batch_size must chunk BOTH encoding and the sharded head program
+    # (3 chunks of 8 over 20 rows) without changing results
+    imgs = _images(n=20)
+    pc = np.asarray(vlm_sharded.predict(imgs, class_prompts=PROMPTS,
+                                        batch_size=4))
+    pf = np.asarray(vlm_dense.predict(imgs, class_prompts=PROMPTS,
+                                      batch_size=64))
+    np.testing.assert_allclose(pc, pf, rtol=1e-5, atol=1e-6)
