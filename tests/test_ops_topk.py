@@ -58,6 +58,14 @@ def test_int_dtype_falls_back():
     _check(x, 16)
 
 
+def test_degenerate_shapes():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 20_000)), jnp.float32)
+    _check(x, 1)          # single row, k=1 (chunked path)
+    _check(x[0], 1)       # 1-D
+    _check(x, 0)          # k=0 returns empty
+
+
 def test_jittable():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(4, 20_000)), jnp.float32)
