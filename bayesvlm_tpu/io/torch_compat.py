@@ -149,73 +149,129 @@ def save_pt_array(array, path: Union[str, os.PathLike]) -> None:
     _save_pt_numpy(arr, path)
 
 
-def _save_pt_numpy(arr: np.ndarray, path: Path) -> None:
-    """Hand-rolled torch zipfile writer for a single tensor."""
-    storage_name = {
-        np.dtype(np.float32): "FloatStorage",
-        np.dtype(np.float64): "DoubleStorage",
-        np.dtype(np.float16): "HalfStorage",
-        np.dtype(np.int64): "LongStorage",
-        np.dtype(np.int32): "IntStorage",
-        np.dtype(np.uint8): "ByteStorage",
-        np.dtype(np.bool_): "BoolStorage",
-    }[arr.dtype]
+def save_pt_state_dict(state: dict, path: Union[str, os.PathLike]) -> None:
+    """Save {name: array} as a torch state_dict `.pt` — the reference's
+    `torch.save(module.state_dict())` checkpoint contract
+    (ref:scripts/activelearning.py:657-660)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {k: np.ascontiguousarray(np.asarray(v)) for k, v in state.items()}
+    if _HAS_TORCH:
+        tensors = {}
+        for k, a in arrays.items():
+            if not a.flags.writeable:
+                a = a.copy()
+            tensors[k] = torch.from_numpy(a)
+        torch.save(tensors, path)
+        return
+    _save_pt_numpy_dict(arrays, path)
 
-    class _StoragePickler(pickle.Pickler):
-        def persistent_id(self, obj):
-            if isinstance(obj, _StorageRef):
-                return ("storage", _FakeClass("torch", obj.name), "0", "cpu", obj.numel)
-            return None
 
-    class _FakeClass:
-        def __init__(self, module, name):
-            self.__module__ = module
-            self.__name__ = name
+_STORAGE_NAMES = {
+    np.dtype(np.float32): "FloatStorage",
+    np.dtype(np.float64): "DoubleStorage",
+    np.dtype(np.float16): "HalfStorage",
+    np.dtype(np.int64): "LongStorage",
+    np.dtype(np.int32): "IntStorage",
+    np.dtype(np.uint8): "ByteStorage",
+    np.dtype(np.bool_): "BoolStorage",
+}
 
-        def __reduce__(self):
-            return (getattr, (__import__(self.__module__), self.__name__))
 
-    class _StorageRef:
-        def __init__(self, name, numel):
-            self.name = name
-            self.numel = numel
+def _torch_global(module: str, name: str):
+    """A stand-in class whose pickled form is the GLOBAL `module.name`.
 
+    The writer must emit torch globals BY NAME: pickling the real torch
+    objects by reference is impossible without torch, and pickling local
+    stand-ins by reference trips pickle's identity check when torch IS
+    importable (observed: the old stub-function approach failed both
+    ways). _PtWriterPickler.save_global below writes these markers as
+    plain GLOBAL opcodes, which both torch.load(weights_only=True) and
+    _PtUnpickler.find_class resolve."""
+    cls = type(name, (), {})
+    cls.__module__ = module
+    cls.__qualname__ = name
+    return cls
+
+
+class _StorageRef:
+    def __init__(self, name, key, numel):
+        self.name = name
+        self.key = key
+        self.numel = numel
+
+
+class _Rebuild:
+    """Pickles as torch._utils._rebuild_tensor_v2(storage, 0, shape,
+    stride, False, OrderedDict()) — torch's plain-tensor wire form."""
+
+    def __init__(self, arr, key):
+        self.arr = arr
+        self.key = key
+
+    def __reduce__(self):
+        import collections
+
+        stride = tuple(s // self.arr.itemsize for s in self.arr.strides)
+        return (
+            _torch_global("torch._utils", "_rebuild_tensor_v2"),
+            (
+                _StorageRef(_STORAGE_NAMES[self.arr.dtype], self.key,
+                            self.arr.size),
+                0,
+                self.arr.shape,
+                stride,
+                False,
+                collections.OrderedDict(),
+            ),
+        )
+
+
+class _PtWriterPickler(pickle._Pickler):
+    # the pure-Python pickler: the C implementation ignores a Python
+    # save_global override, which is the whole point here
+    def persistent_id(self, obj):
+        if isinstance(obj, _StorageRef):
+            return ("storage", _torch_global("torch", obj.name), obj.key,
+                    "cpu", obj.numel)
+        return None
+
+    def save_global(self, obj, name=None):
+        module = getattr(obj, "__module__", None)
+        if module in ("torch", "torch._utils"):
+            # by-name GLOBAL, no import/identity check at save time
+            self.write(pickle.GLOBAL
+                       + f"{module}\n{obj.__qualname__}\n".encode())
+            self.memoize(obj)
+            return
+        super().save_global(obj, name)
+
+
+def _write_pt_zip(payload, storages: dict, path: Path) -> None:
     buf = io.BytesIO()
-    p = _StoragePickler(buf, protocol=2)
-
-    # emulate torch._utils._rebuild_tensor_v2(storage, 0, size, stride, False, OrderedDict())
-    import collections
-
-    contiguous = np.ascontiguousarray(arr)
-    stride = tuple(s // contiguous.itemsize for s in contiguous.strides)
-
-    class _Rebuild:
-        def __reduce__(self):
-            return (
-                _torch_rebuild_stub,
-                (
-                    _StorageRef(storage_name, contiguous.size),
-                    0,
-                    contiguous.shape,
-                    stride,
-                    False,
-                    collections.OrderedDict(),
-                ),
-            )
-
-    p.dump(_Rebuild())
-    pkl_bytes = buf.getvalue()
-
+    _PtWriterPickler(buf, protocol=2).dump(payload)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
-        zf.writestr("archive/data.pkl", pkl_bytes)
-        zf.writestr("archive/data/0", contiguous.tobytes())
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        for key, arr in storages.items():
+            zf.writestr(f"archive/data/{key}", arr.tobytes())
         zf.writestr("archive/version", "3\n")
 
 
-def _torch_rebuild_stub(*args):  # pragma: no cover - only needed by torch side
-    raise RuntimeError("placeholder; real torch resolves torch._utils._rebuild_tensor_v2")
+def _save_pt_numpy_dict(arrays: dict, path: Path) -> None:
+    """Hand-rolled torch zipfile writer for a {name: tensor} dict
+    (state_dict contract)."""
+    import collections
+
+    arrays = {k: np.ascontiguousarray(v) for k, v in arrays.items()}
+    payload = collections.OrderedDict(
+        (name, _Rebuild(arr, str(i)))
+        for i, (name, arr) in enumerate(arrays.items())
+    )
+    _write_pt_zip(payload,
+                  {str(i): a for i, a in enumerate(arrays.values())}, path)
 
 
-_torch_rebuild_stub.__module__ = "torch._utils"
-_torch_rebuild_stub.__qualname__ = "_rebuild_tensor_v2"
-_torch_rebuild_stub.__name__ = "_rebuild_tensor_v2"
+def _save_pt_numpy(arr: np.ndarray, path: Path) -> None:
+    """Hand-rolled torch zipfile writer for a single tensor."""
+    contiguous = np.ascontiguousarray(arr)
+    _write_pt_zip(_Rebuild(contiguous, "0"), {"0": contiguous}, path)

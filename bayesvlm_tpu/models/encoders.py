@@ -114,16 +114,17 @@ class _EncoderBase:
         )
 
     def save_projection_weights(self, path):
-        """Serialize the projection params (torch-compatible .pt;
-        ref:bayesvlm/vlm.py:236-253 save/load contract). The kernel is
-        stored transposed to the torch [out, in] convention."""
-        from bayesvlm_tpu.io.torch_compat import save_pt_array
+        """Serialize the projection params as a torch state_dict .pt —
+        the reference's `torch.save(projection.state_dict())` contract
+        (ref:bayesvlm/vlm.py:236-253): {'weight': [out, in]} plus
+        'bias' when the projection has one (SigLIP fc2)."""
+        from bayesvlm_tpu.io.torch_compat import save_pt_state_dict
 
         tree = jax.tree_util.tree_map(np.asarray, self.projection_tree())
-        if "kernel" in tree:
-            save_pt_array(np.ascontiguousarray(tree["kernel"].T), path)
-        else:
-            save_pt_array(tree, path)
+        state = {"weight": np.ascontiguousarray(tree["kernel"].T)}
+        if "bias" in tree:
+            state["bias"] = tree["bias"]
+        save_pt_state_dict(state, path)
 
     def load_projection_weights(self, path) -> "_EncoderBase":
         """Load a projection checkpoint (.pt written by us or by the

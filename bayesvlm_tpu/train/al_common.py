@@ -168,7 +168,7 @@ def finetune_all_subsets(
 
     import jax.numpy as jnp
 
-    from bayesvlm_tpu.io.torch_compat import save_pt_array
+    from bayesvlm_tpu.io.torch_compat import save_pt_state_dict
     from bayesvlm_tpu.select.knn import extract_test_train_indices
     from bayesvlm_tpu.train.finetune import finetune_projection
     from bayesvlm_tpu.train.logging import ExperimentLogger
@@ -176,10 +176,6 @@ def finetune_all_subsets(
     results = {}
     for subset, indices_dict in subset_indices_train.items():
         print(f"    - Fine-tuning on subset {subset} ...")
-        indices = extract_test_train_indices(indices_dict)["train"]
-        masked_features = ctx.image_outputs_train[jnp.asarray(indices)]
-        masked_class_ids = ctx.class_ids_train[jnp.asarray(indices)]
-
         finetune_dir = subset_dir / subset
         finetune_dir.mkdir(parents=True, exist_ok=True)
         checkpoint_path = finetune_dir / "img_projection.pt"
@@ -187,6 +183,10 @@ def finetune_all_subsets(
             # skip-if-exists resume (ref:activelearning_kmeans.py:424)
             print(f"      checkpoint exists, skipping: {checkpoint_path}")
             continue
+
+        indices = extract_test_train_indices(indices_dict)["train"]
+        masked_features = ctx.image_outputs_train[jnp.asarray(indices)]
+        masked_class_ids = ctx.class_ids_train[jnp.asarray(indices)]
 
         img_proj = copy.deepcopy(dict(ctx.image_encoder.projection_tree()))
         txt_proj = dict(ctx.text_encoder.projection_tree())
@@ -200,22 +200,30 @@ def finetune_all_subsets(
                 dataset=dataset, **(config or {}),
             ),
         )
-        best_proj, best_test_m = finetune_projection(
-            img_proj, txt_proj, ctx.head,
-            masked_features, masked_class_ids,
-            ctx.image_outputs_val, ctx.class_ids_val,
-            ctx.image_outputs_test, ctx.class_ids_test,
-            ctx.label_outputs,
-            lr=finetune_lr, wd=finetune_wd, epochs=finetune_epochs,
-            batch_size=finetune_batch_size,
-            num_classes=len(ctx.dm.class_prompts),
-            logger=logger,
-            early_stopping_patience=early_stopping_patience,
-        )
-        logger.finish()
-        save_pt_array(
-            np.ascontiguousarray(np.asarray(best_proj["kernel"]).T), checkpoint_path
-        )
+        try:
+            best_proj, best_test_m = finetune_projection(
+                img_proj, txt_proj, ctx.head,
+                masked_features, masked_class_ids,
+                ctx.image_outputs_val, ctx.class_ids_val,
+                ctx.image_outputs_test, ctx.class_ids_test,
+                ctx.label_outputs,
+                lr=finetune_lr, wd=finetune_wd, epochs=finetune_epochs,
+                batch_size=finetune_batch_size,
+                num_classes=len(ctx.dm.class_prompts),
+                logger=logger,
+                early_stopping_patience=early_stopping_patience,
+            )
+        finally:
+            logger.finish()
+        # full state_dict incl. the SigLIP projection bias — the
+        # reference's torch.save(img_projection.state_dict()) contract
+        # (ref:scripts/activelearning.py:657-660)
+        state = {
+            "weight": np.ascontiguousarray(np.asarray(best_proj["kernel"]).T)
+        }
+        if best_proj.get("bias") is not None:
+            state["bias"] = np.asarray(best_proj["bias"])
+        save_pt_state_dict(state, checkpoint_path)
         results[subset] = best_test_m
         print(f"      best test metrics: {best_test_m}")
     return results

@@ -34,7 +34,6 @@ def _is_projection_path(path, projection_names) -> bool:
 
 
 def trainable_mask_fns(
-    params: Any,
     num_layers: int,
     k_last_layers: int,
     projection_names: Tuple[str, ...],
@@ -93,13 +92,10 @@ def make_backbone_train_step(
     def init_state(params):
         return opt.init(params)
 
-    mask_fns_cache = {}
-
     @jax.jit
     def step(params, opt_state, batch):
         mask_grads, restore_frozen = trainable_mask_fns(
-            params, num_layers, k_last_layers, projection_names,
-            enable_projection,
+            num_layers, k_last_layers, projection_names, enable_projection,
         )
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         grads = mask_grads(grads)

@@ -74,7 +74,6 @@ def main(
     epig_pool_max_size: int = 40_000,
     epig_target_max_size: int = 20_000,
 ):
-    import jax.numpy as jnp
 
     from bayesvlm_tpu.inference.predictions import make_predictions
     from bayesvlm_tpu.select.epig import select_epig_online

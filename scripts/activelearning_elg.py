@@ -60,7 +60,7 @@ def main(
     from bayesvlm_tpu.select.scores import select_random, select_topk
     from bayesvlm_tpu.train.al_common import finetune_all_subsets, setup_context
 
-    # strategy gating, ref:activelearning_elg.py:647-654
+    # strategy gating, ref:activelearning_elg.py:647-668
     run_deterministic = (not only_random_strategies and not only_epig
                          and not only_egl)
     run_epig = (not only_random_strategies and not without_epig
@@ -71,11 +71,30 @@ def main(
     if only_deterministic_strategies:
         run_random = False
         run_epig = False
+    if only_random_strategies:
+        run_deterministic = False
+        run_epig = False
+        run_egl = False
+    if only_epig:
+        run_deterministic = False
+        run_random = False
+        run_egl = False
+        run_epig = True  # ref:659-663 forces EPIG on
+    if only_egl:
+        run_deterministic = False
+        run_random = False
+        run_epig = False
+        run_egl = True   # ref:664-668 forces EGL on
 
     ctx = setup_context(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
         precompute_batch_size, precompute_num_workers, weights_dir, tokenizer_dir,
     )
+    if knn_method not in ("cosine", "wasserstein"):
+        raise ValueError(
+            f"Unknown knn_method: {knn_method!r} (expected 'cosine' or "
+            "'wasserstein')"
+        )
     head = ctx.head
 
     print("[2] Making predictions ...")

@@ -80,7 +80,6 @@ def main(
     # ref:activelearning_kmeans.py:94-164); the jitted Lloyd k-means here
     # has no minibatch variant, so they are documented no-ops.
     del use_minibatch_kmeans, kmeans_batch_size
-    import jax.numpy as jnp
 
     from bayesvlm_tpu.inference.predictions import make_predictions
     from bayesvlm_tpu.select.kmeans import cluster_and_select_representatives
@@ -91,6 +90,11 @@ def main(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
         precompute_batch_size, precompute_num_workers, weights_dir, tokenizer_dir,
     )
+    if knn_method not in ("cosine", "wasserstein"):
+        raise ValueError(
+            f"Unknown knn_method: {knn_method!r} (expected 'cosine' or "
+            "'wasserstein')"
+        )
     head = ctx.head
 
     print("[2] Making predictions ...")
@@ -199,8 +203,12 @@ def main(
                 seed=0,
                 projection_l2=ctx.image_encoder.projection_l2(),
                 projection_num_params=ctx.image_encoder.projection_num_params(),
+                # ref:activelearning_kmeans.py:662-669 caps the EPIG
+                # pool/target subsamples and uses the default k=1
+                # neighbors (NOT the script-level --k_nearest)
+                pool_max_size=40_000,
+                target_max_size=20_000,
                 pool_subsampling=pool_subsampling,
-                k_nearest_neighbors=k_nearest,
                 proj_has_bias=head.source_projection_has_bias,
             )
             subset_indices_train["epig_direct"] = {

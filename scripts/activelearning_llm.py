@@ -69,11 +69,22 @@ def main(
     if only_deterministic_strategies:
         run_random = False
         run_epig = False
+    if only_epig:
+        # ref:activelearning_llm.py:658 forces EPIG on under only_epig
+        # (overriding without_epig)
+        run_deterministic = False
+        run_random = False
+        run_epig = True
 
     ctx = setup_context(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
         precompute_batch_size, precompute_num_workers, weights_dir, tokenizer_dir,
     )
+    if knn_method not in ("cosine", "wasserstein"):
+        raise ValueError(
+            f"Unknown knn_method: {knn_method!r} (expected 'cosine' or "
+            "'wasserstein')"
+        )
     head = ctx.head
 
     mk = lambda feats, map_est: make_predictions(
