@@ -129,18 +129,39 @@ class _EncoderBase:
     def load_projection_weights(self, path) -> "_EncoderBase":
         """Load a projection checkpoint (.pt written by us or by the
         reference's torch `state_dict` save) and return an updated
-        encoder."""
+        encoder.
+
+        Key checking is strict, mirroring torch's
+        `Module.load_state_dict(strict=True)` that the reference relies
+        on (ref:bayesvlm/vlm.py:236-253): a checkpoint whose keys do not
+        match this projection's architecture (missing 'bias', unexpected
+        'bias', unknown keys) raises instead of silently intersecting.
+        """
         from bayesvlm_tpu.io.torch_compat import load_pt_array
 
         loaded = load_pt_array(path)
         proj = dict(self.projection_tree())
         if isinstance(loaded, dict):
             # torch state_dict: {'weight': [out,in], 'bias': [out]}
-            if "weight" in loaded:
-                proj["kernel"] = jnp.asarray(np.ascontiguousarray(loaded["weight"].T))
-            if "bias" in loaded and "bias" in proj:
+            expected = {"weight"} | ({"bias"} if "bias" in proj else set())
+            got = set(loaded.keys())
+            if got != expected:
+                raise ValueError(
+                    f"projection checkpoint {path} keys {sorted(got)} do not "
+                    f"match this projection's state_dict keys {sorted(expected)} "
+                    f"(missing: {sorted(expected - got)}, "
+                    f"unexpected: {sorted(got - expected)})"
+                )
+            proj["kernel"] = jnp.asarray(np.ascontiguousarray(loaded["weight"].T))
+            if "bias" in loaded:
                 proj["bias"] = jnp.asarray(loaded["bias"])
         else:
+            if "bias" in proj:
+                raise ValueError(
+                    f"projection checkpoint {path} is a bare kernel array but "
+                    "this projection has a bias; a full state_dict "
+                    "{'weight', 'bias'} is required (SigLIP fc2)"
+                )
             proj["kernel"] = jnp.asarray(np.ascontiguousarray(np.asarray(loaded).T))
         return self.with_projection(proj)
 

@@ -28,6 +28,15 @@ def topk_exact(x: jax.Array, k: int):
     Returns (values, indices), identical to `jax.lax.top_k(x, k)`
     including tie order. Uses a two-stage chunked lowering when the row
     width makes it profitable; falls back to `lax.top_k` otherwise.
+
+    The -inf width padding can never surface in the result, even for
+    rows with fewer than k finite entries (or none): pads live only at
+    the tail of the LAST chunk, `lax.top_k` is stable by index on ties,
+    and the last chunk always holds >= k real lanes (pad <= chunks-1
+    <= 63 while chunk width >= max(8k, 1024)), so real -inf lanes
+    outrank pads in stage 1 and every returned index is < n — verified
+    by tests/test_ops_topk.py::test_fewer_than_k_finite_entries. NaN
+    inputs are unspecified, exactly as for `lax.top_k`.
     """
     n = x.shape[-1]
     if k >= n or not jnp.issubdtype(x.dtype, jnp.floating):

@@ -101,6 +101,14 @@ def _sims_topk_sharded(sims_fn, train: EncoderResult, k_cap: int, mesh,
     `sims_fn(train_shard)` computes the local similarity columns
     (row-wise math only, so sharding train rows is transparent).
     Falls back to dense when the local width cannot cover k_cap.
+    Zero-row pad columns (global id >= n_train, masked to -inf) can
+    never surface in the result, even when a test row has >= k_cap
+    similarities equal to -inf: both top-k stages are stable by index
+    on ties, candidates are combined in global column order, and shard
+    0 alone contributes k_cap real-column candidates ahead of any pad
+    (pads live only at the tail of the last shard) — verified by
+    tests/test_knn_sharded.py::test_neg_inf_similarities_no_pad_ids.
+    NaN similarities are unspecified, as for a dense `lax.top_k`.
     Returns (values, global_ids) replicated. No reference counterpart
     (single-GPU torch.topk, ref:bayesvlm/knn.py:92); SURVEY §2.7.
     """

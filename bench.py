@@ -47,10 +47,15 @@ def _best_ms(loop, args, n_iter, reps=3):
     return best * 1e3
 
 
-def _report(metric, value, unit, vs_baseline):
+def _report(metric, value, unit, vs_baseline, baseline):
+    """`baseline` documents the denominator's provenance — the reference
+    publishes no perf numbers, so every vs_baseline here divides by
+    either an analytic estimate or one of our own earlier measurements;
+    the JSON must say which so the ratio can't be quoted as
+    measured-vs-measured (BASELINE.md methodology section)."""
     print(json.dumps({
         "metric": metric, "value": value, "unit": unit,
-        "vs_baseline": vs_baseline,
+        "vs_baseline": vs_baseline, "baseline": baseline,
     }))
 
 
@@ -89,15 +94,11 @@ def bench_hessian():
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     rate = C / best
-    print(
-        json.dumps(
-            {
-                "metric": "kfac_ggn_infonce_throughput",
-                "value": round(rate, 0),
-                "unit": "pairs/sec",
-                "vs_baseline": round(rate * 8 / 1000.0, 1),
-            }
-        )
+    _report(
+        "kfac_ggn_infonce_throughput", round(rate, 0), "pairs/sec",
+        round(rate * 8 / 1000.0, 1),
+        baseline="analytic estimate: reference per-sample torch loop on "
+                 "A100 ~1k pairs/s (BASELINE.md), x8 chips; not measured",
     )
 
 
@@ -135,7 +136,9 @@ def bench_epig():
     # same nominal TFLOP/s assumption as the headline metric is not
     # published; report vs our own measured XLA path (52.9 ms).
     _report("epig_al_step_scoring", round(ms, 1), "ms/step",
-            round(52.9 / ms, 2))
+            round(52.9 / ms, 2),
+            baseline="our own measured XLA path, 52.9 ms (round 3); the "
+                     "reference publishes no perf numbers")
 
 
 def bench_knn():
@@ -183,7 +186,9 @@ def bench_knn():
 
     ms = _best_ms(loop, (test, train, A_inv, B_diag), n_iter=10)
     _report("knn_sims_topk_step", round(ms, 1), "ms/step",
-            round(84.5 / ms, 2))
+            round(84.5 / ms, 2),
+            baseline="our own measured lax.top_k path, 84.5 ms (round 3); "
+                     "the reference publishes no perf numbers")
 
 
 def main():
@@ -274,6 +279,9 @@ def main():
         "clip_vitl14_probabilistic_zeroshot_throughput",
         round(best, 1), "images/sec/chip",
         round(best * N_CHIPS_TARGET / A100_BASELINE_IMG_S, 3),
+        baseline="analytic estimate: reference HF fp16 pipeline on A100 "
+                 "~1000 img/s (BASELINE.md derivation); v5e-8 DP-linear "
+                 "x8; NOT a measured A100 number",
     )
 
 

@@ -43,3 +43,11 @@ def siglip_hessian_dir():
     if not SIGLIP_DIR.exists():
         pytest.skip("reference hessian fixtures not available")
     return SIGLIP_DIR
+
+
+@pytest.fixture(scope="session")
+def clip_l14_hessian_dir():
+    d = REFERENCE_HESSIANS / "hessian_CLIP-ViT-L-14-laion2B-s32B-b82K"
+    if not d.exists():
+        pytest.skip("reference hessian fixtures not available")
+    return d

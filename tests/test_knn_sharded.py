@@ -64,3 +64,38 @@ def test_narrow_pool_falls_back():
     assert list(ref.keys()) == list(out.keys())
     for t in ref:
         assert ref[t]["indices"] == out[t]["indices"]
+
+
+@pytest.mark.parametrize("n_train", [64, 67])  # divisible and padded
+def test_neg_inf_similarities_no_pad_ids(n_train):
+    # pathological: rows where >= k_cap similarities are -inf (all of
+    # them, and all-but-one). Zero-row pad columns (global id >=
+    # n_train) must never surface, and the result must still match the
+    # dense lax.top_k exactly (tie order included).
+    import jax
+
+    from bayesvlm_tpu.select.knn import _sims_topk_sharded
+
+    k_cap = 5
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    train = EncoderResult.create(
+        embeds=jnp.asarray(rng.normal(size=(n_train, 4)), jnp.float32),
+        activations=jnp.asarray(rng.normal(size=(n_train, 4)), jnp.float32),
+    )
+
+    def sims_fn(tr):
+        n_local = tr.embeds.shape[0]
+        row0 = jnp.full((1, n_local), -jnp.inf)           # all -inf
+        # row 1: -inf except global column 3 (only present on one
+        # shard; the rest see all--inf). Identify it by embed value so
+        # the same sims_fn works on shards and on the dense pool.
+        marker = jnp.isclose(tr.embeds[:, 0], train.embeds[3, 0])
+        row1 = jnp.where(marker[None, :], 1.0, -jnp.inf)
+        return jnp.concatenate([row0, row1], axis=0)
+
+    v, ids = _sims_topk_sharded(sims_fn, train, k_cap, mesh)
+    dense_v, dense_i = jax.lax.top_k(sims_fn(train), k_cap)
+    np.testing.assert_array_equal(np.asarray(dense_v), np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(dense_i), np.asarray(ids))
+    assert (np.asarray(ids) < n_train).all()

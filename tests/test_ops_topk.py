@@ -52,6 +52,20 @@ def test_neg_inf_rows_match():
     _check(jnp.asarray(x), 40)
 
 
+def test_fewer_than_k_finite_entries():
+    # pathological rows with < k entries above -inf (including none):
+    # the chunked path's -inf pad lanes must never surface as indices
+    # >= n, and tie order among real -inf lanes must match lax.top_k
+    for n, k in [(4095, 4), (4097, 4), (100_001, 160), (8191, 3)]:
+        x = np.full((3, n), -np.inf, np.float32)
+        x[0, n // 2] = 1.0            # one finite entry
+        x[1, -1] = 2.0                # finite entry in the padded chunk
+        # row 2: all -inf
+        _check(jnp.asarray(x), k)
+        _, ids = topk_exact(jnp.asarray(x), k)
+        assert (np.asarray(ids) < n).all()
+
+
 def test_int_dtype_falls_back():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.integers(0, 1000, size=(4, 20_000)), jnp.int32)

@@ -78,6 +78,68 @@ def test_golden_lambda_clip_b32(clip_b32_hessian_dir):
     assert np.isfinite(lam) and lam > 0
 
 
+def _golden_lambda_rederivation(hessian_dir, tag, lam_star, num_params,
+                                lmbda_init):
+    """Re-derive a shipped golden lambda from its factors without the
+    (network-blocked) trained projection weights: the marginal-likelihood
+    stationarity condition  0 = 0.5*P/lam - 0.5*||w||^2 - d/dlam[logdet]
+    pins the implied ||w||^2 at lam_star, computed here with an
+    INDEPENDENT fp64 NumPy implementation of the reference formula
+    (ref:bayesvlm/hessians.py:219-280, swapped p/q logdet multipliers,
+    d/dlam logdet(A*sqrt(n)+sqrt(lam) I) = tr(A_^-1)/(2 sqrt(lam))).
+    Running OUR production optimizer (jitted lax.scan Adam, fp32) with
+    that ||w||^2 must converge back to lam_star — this fails if the
+    loader (incl. the 769 bias column), regularization, logdet
+    convention, gradient, or Adam loop diverge from the reference at
+    these factor scales."""
+    from bayesvlm_tpu.io.artifacts import load_hessians
+
+    A, B = load_hessians(hessian_dir, tag)
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    n = 1.0
+    p, q = A.shape[0], B.shape[0]
+    sl = np.sqrt(lam_star)
+    A_ = A * np.sqrt(n) + sl * np.eye(p)
+    B_ = B * np.sqrt(n) + sl * np.eye(q)
+    g_det = (p * np.trace(np.linalg.inv(A_))
+             + q * np.trace(np.linalg.inv(B_))) / (2 * sl)
+    implied_w2 = num_params / lam_star - 2 * g_det
+    assert implied_w2 > 0, "shipped lambda is not a stationary point"
+
+    lam = float(
+        optimize_prior_precision(
+            projection_l2_norm=float(implied_w2),
+            projection_num_params=num_params,
+            A=A.astype(np.float32), B=B.astype(np.float32),
+            lmbda_init=lmbda_init, n=n, lr=1e-2, num_steps=400,
+        )
+    )
+    assert lam == pytest.approx(lam_star, rel=1e-4)
+
+
+def test_golden_lambda_siglip_txt(siglip_hessian_dir):
+    """lambda_txt = 228.643 from the shipped SigLIP A_txt (769^2, bias
+    column) / B_txt (768^2) — golden check at the biased-projection
+    scale (P = 768*768 + 768). Ref:
+    hessians/hessian_siglip-base-patch16-256/prior_precision_analytic.json."""
+    _golden_lambda_rederivation(
+        siglip_hessian_dir, "txt", 228.6428985595703,
+        num_params=768 * 768 + 768, lmbda_init=400.0,
+    )
+
+
+def test_golden_lambda_vitl_txt(clip_l14_hessian_dir):
+    """lambda_txt = 220.124 from the shipped ViT-L/14 text factors
+    (768^2 each, biasless P = 768*768) — golden check at the laion2B
+    ViT-L scale. Ref:
+    hessians/hessian_CLIP-ViT-L-14-laion2B-s32B-b82K/prior_precision_analytic.json."""
+    _golden_lambda_rederivation(
+        clip_l14_hessian_dir, "txt", 220.12416076660156,
+        num_params=768 * 768, lmbda_init=400.0,
+    )
+
+
 def test_pytree_helpers():
     params = {"w": np.ones((3, 4), np.float32) * 2, "b": np.ones((4,), np.float32)}
     assert float(l2_norm_squared(params)) == pytest.approx(3 * 4 * 4 + 4)

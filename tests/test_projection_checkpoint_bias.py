@@ -38,6 +38,36 @@ def test_siglip_projection_roundtrip_keeps_bias(tmp_path):
         np.asarray(tree["kernel"]), rtol=1e-6)
 
 
+def test_mismatched_checkpoint_keys_raise(tmp_path):
+    # strict load_state_dict semantics: a checkpoint whose keys disagree
+    # with the projection's architecture must raise, never silently
+    # intersect (previously a biasless checkpoint kept the stale bias)
+    import pytest
+
+    siglip_img, _, _ = load_model("tiny-siglip", dtype=jnp.float32, seed=0)
+    clip_img, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0)
+    tree = siglip_img.projection_tree()
+
+    no_bias = tmp_path / "no_bias.pt"
+    tc.save_pt_state_dict(
+        {"weight": np.asarray(tree["kernel"]).T.copy()}, no_bias)
+    with pytest.raises(ValueError, match="missing.*bias"):
+        siglip_img.load_projection_weights(no_bias)
+
+    extra_bias = tmp_path / "extra_bias.pt"
+    d = clip_img.projection_tree()["kernel"]
+    tc.save_pt_state_dict(
+        {"weight": np.asarray(d).T.copy(),
+         "bias": np.zeros(d.shape[1], np.float32)}, extra_bias)
+    with pytest.raises(ValueError, match="unexpected.*bias"):
+        clip_img.load_projection_weights(extra_bias)
+
+    bare = tmp_path / "bare.pt"
+    tc.save_pt_array(np.asarray(tree["kernel"]).T.copy(), bare)
+    with pytest.raises(ValueError, match="bare kernel"):
+        siglip_img.load_projection_weights(bare)
+
+
 def test_numpy_dict_writer_torch_readable(tmp_path):
     rng = np.random.default_rng(0)
     state = {
