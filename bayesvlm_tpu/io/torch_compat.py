@@ -121,16 +121,25 @@ def _load_pt_numpy(path: Path) -> np.ndarray:
     return obj
 
 
+def _torch_to_numpy(obj):
+    """Recursively convert torch tensors to NumPy (bf16 widens to fp32),
+    preserving dict nesting/key order — state_dicts may nest."""
+    if isinstance(obj, dict):
+        return type(obj)((k, _torch_to_numpy(v)) for k, v in obj.items())
+    if _HAS_TORCH and isinstance(obj, torch.Tensor):
+        if obj.dtype == torch.bfloat16:
+            obj = obj.float()
+        return obj.numpy()
+    return obj
+
+
 def load_pt_array(path: Union[str, os.PathLike]) -> np.ndarray:
-    """Load a `.pt` file containing a single tensor as a NumPy array."""
+    """Load a `.pt` file containing a single tensor as a NumPy array,
+    or a (possibly nested) state_dict as a dict of NumPy arrays."""
     path = Path(path)
     if _HAS_TORCH:
-        t = torch.load(path, map_location="cpu", weights_only=True)
-        if isinstance(t, dict):
-            return {k: v.numpy() for k, v in t.items()}
-        if t.dtype == torch.bfloat16:
-            t = t.float()
-        return t.numpy()
+        return _torch_to_numpy(
+            torch.load(path, map_location="cpu", weights_only=True))
     return _load_pt_numpy(path)
 
 
@@ -141,7 +150,7 @@ def save_pt_array(array, path: Union[str, os.PathLike]) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     arr = np.asarray(array)
     if _HAS_TORCH:
-        buf = np.ascontiguousarray(arr)
+        buf = np.asarray(arr, order="C")
         if not buf.flags.writeable:
             buf = buf.copy()
         torch.save(torch.from_numpy(buf), path)
@@ -155,14 +164,22 @@ def save_pt_state_dict(state: dict, path: Union[str, os.PathLike]) -> None:
     (ref:scripts/activelearning.py:657-660)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    arrays = {k: np.ascontiguousarray(np.asarray(v)) for k, v in state.items()}
+
+    def _prep(v):
+        if isinstance(v, dict):
+            return {k: _prep(x) for k, x in v.items()}
+        return np.asarray(v, order="C")
+
+    arrays = _prep(state)
     if _HAS_TORCH:
-        tensors = {}
-        for k, a in arrays.items():
-            if not a.flags.writeable:
-                a = a.copy()
-            tensors[k] = torch.from_numpy(a)
-        torch.save(tensors, path)
+        def _to_torch(v):
+            if isinstance(v, dict):
+                return {k: _to_torch(x) for k, x in v.items()}
+            if not v.flags.writeable:
+                v = v.copy()
+            return torch.from_numpy(v)
+
+        torch.save(_to_torch(arrays), path)
         return
     _save_pt_numpy_dict(arrays, path)
 
@@ -173,6 +190,8 @@ _STORAGE_NAMES = {
     np.dtype(np.float16): "HalfStorage",
     np.dtype(np.int64): "LongStorage",
     np.dtype(np.int32): "IntStorage",
+    np.dtype(np.int16): "ShortStorage",
+    np.dtype(np.int8): "CharStorage",
     np.dtype(np.uint8): "ByteStorage",
     np.dtype(np.bool_): "BoolStorage",
 }
@@ -259,19 +278,24 @@ def _write_pt_zip(payload, storages: dict, path: Path) -> None:
 
 def _save_pt_numpy_dict(arrays: dict, path: Path) -> None:
     """Hand-rolled torch zipfile writer for a {name: tensor} dict
-    (state_dict contract)."""
+    (state_dict contract); dicts may nest."""
     import collections
 
-    arrays = {k: np.ascontiguousarray(v) for k, v in arrays.items()}
-    payload = collections.OrderedDict(
-        (name, _Rebuild(arr, str(i)))
-        for i, (name, arr) in enumerate(arrays.items())
-    )
-    _write_pt_zip(payload,
-                  {str(i): a for i, a in enumerate(arrays.values())}, path)
+    storages = {}
+
+    def _build(v):
+        if isinstance(v, dict):
+            return collections.OrderedDict(
+                (k, _build(x)) for k, x in v.items())
+        arr = np.asarray(v, order="C")
+        key = str(len(storages))
+        storages[key] = arr
+        return _Rebuild(arr, key)
+
+    _write_pt_zip(_build(arrays), storages, path)
 
 
 def _save_pt_numpy(arr: np.ndarray, path: Path) -> None:
     """Hand-rolled torch zipfile writer for a single tensor."""
-    contiguous = np.ascontiguousarray(arr)
+    contiguous = np.asarray(arr, order="C")
     _write_pt_zip(_Rebuild(contiguous, "0"), {"0": contiguous}, path)
