@@ -51,13 +51,15 @@ class Laion400mDataModule(DataModule):
         self.dataset = self.dataset.shard_slice(host_id, num_hosts)
 
     def enable_native_decode(
-        self, image_size: int, family: str = "clip", num_threads: int = 8
+        self, image_size: int, family: str = "clip", num_threads: int = 8,
+        out_uint8: bool = False,
     ):
         """Opt into the native (C++) batched JPEG decode lane.
 
         Bilinear resampling (PIL bicubic remains the default pipeline);
         the measured embedding delta is recorded in BASELINE.md. Raises
-        if native/libbvt_io.so is not built.
+        if native/libbvt_io.so is not built. `out_uint8` ships raw uint8
+        crops and normalizes in-graph (4x less H2D traffic).
         """
         from bayesvlm_tpu.data import native_io
         from bayesvlm_tpu.data.transforms import (
@@ -79,10 +81,13 @@ class Laion400mDataModule(DataModule):
             params = dict(mean=DEFAULT_MEAN, std=DEFAULT_STD,
                           square_resize=False)
         self._native_decode = dict(
-            image_size=image_size, num_threads=num_threads, **params
+            image_size=image_size, num_threads=num_threads,
+            out_uint8=out_uint8, **params
         )
 
     def train_dataloader(self):
+        from bayesvlm_tpu.data.prefetch import ParallelPILLoader, PrefetchLoader
+
         native = getattr(self, "_native_decode", None)
         if native is not None:
             raw = WebDataset(
@@ -92,10 +97,34 @@ class Laion400mDataModule(DataModule):
                 map_fn=None,
                 use_native=self.dataset.use_native,
             )
-            return NativeDecodeLoader(
-                raw, self.batch_size, drop_last=True, **native
+            # background thread overlaps the (GIL-releasing) C++ decode
+            # with device compute: serialized 1/(1/feed+1/chip) -> min()
+            return PrefetchLoader(
+                NativeDecodeLoader(raw, self.batch_size, drop_last=True,
+                                   **native),
+                depth=2,
             )
-        return IterableLoader(self.dataset, self.batch_size, drop_last=True)
+        if self.num_workers and self.num_workers >= 2 \
+                and len(self.dataset.tar_paths) >= 2:
+            # the reference's DataLoader(num_workers=N) analogue: decode
+            # worker processes over round-robin tar assignment (order is
+            # deterministic but differs from num_workers=0, as there)
+            ds = self.dataset
+
+            def make_iter(tars):
+                return iter(WebDataset(
+                    tars, shuffle_buffer=ds.shuffle_buffer, seed=ds.seed,
+                    map_fn=ds.map_fn, use_native=ds.use_native,
+                ))
+
+            return ParallelPILLoader(
+                ds.tar_paths, make_iter, self.batch_size,
+                num_workers=self.num_workers, drop_last=True,
+            )
+        return PrefetchLoader(
+            IterableLoader(self.dataset, self.batch_size, drop_last=True),
+            depth=2,
+        )
 
     def val_dataloader(self):
         return self.train_dataloader()

@@ -63,6 +63,17 @@ def _load():
         ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    lib.bvt_decode_batch_u8.restype = ctypes.c_int
+    lib.bvt_decode_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -137,6 +148,38 @@ def decode_batch(
         ptrs, lens, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         size, int(square_resize), mean_arr, std_arr,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return out, status
+
+
+def decode_batch_u8(
+    jpegs: Sequence[bytes],
+    size: int,
+    square_resize: bool = False,
+    num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """uint8 lane: decode + resize + crop WITHOUT normalization ->
+    ([n, size, size, 3] uint8 NHWC, [n] int32 status). The /255 +
+    mean/std normalize runs in-graph on device (ImageEncoder accepts
+    uint8 input) — 4x less host->device traffic and zero host float
+    math per pixel."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run make -C native)")
+    n = len(jpegs)
+    arrs = [np.frombuffer(j, np.uint8) for j in jpegs]
+    ptrs = (ctypes.c_char_p * n)(
+        *[a.ctypes.data_as(ctypes.c_char_p) for a in arrs]
+    )
+    lens = (ctypes.c_uint64 * n)(*[len(j) for j in jpegs])
+    out = np.empty((n, size, size, 3), np.uint8)
+    status = np.zeros(n, np.int32)
+    lib.bvt_decode_batch_u8(
+        ptrs, lens, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        size, int(square_resize),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
     )

@@ -210,6 +210,7 @@ class NativeDecodeLoader:
         square_resize: bool = False,
         drop_last: bool = True,
         num_threads: int = 8,
+        out_uint8: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -219,15 +220,26 @@ class NativeDecodeLoader:
         self.square_resize = square_resize
         self.drop_last = drop_last
         self.num_threads = num_threads
+        self.out_uint8 = out_uint8
 
     def _emit(self, samples):
         from bayesvlm_tpu.data import native_io
 
-        imgs, status = native_io.decode_batch(
-            [s["jpg"] for s in samples],
-            self.image_size, self.mean, self.std,
-            square_resize=self.square_resize, num_threads=self.num_threads,
-        )
+        if self.out_uint8:
+            # device-normalize lane: raw uint8 crops out; the encoder
+            # applies /255 + mean/std in-graph (see decode_batch_u8)
+            imgs, status = native_io.decode_batch_u8(
+                [s["jpg"] for s in samples],
+                self.image_size,
+                square_resize=self.square_resize,
+                num_threads=self.num_threads,
+            )
+        else:
+            imgs, status = native_io.decode_batch(
+                [s["jpg"] for s in samples],
+                self.image_size, self.mean, self.std,
+                square_resize=self.square_resize, num_threads=self.num_threads,
+            )
         keep = status == 0
         for s, st in zip(samples, status):
             if st != 0:

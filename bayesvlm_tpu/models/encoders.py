@@ -175,6 +175,17 @@ class ImageEncoder(_EncoderBase):
 
         @jax.jit
         def fwd(params, pixels):
+            if pixels.dtype == jnp.uint8:
+                # uint8 ingest lane: /255 + mean/std normalize in-graph
+                # (XLA fuses it into the patch conv); the host ships raw
+                # uint8 crops — 4x less H2D traffic (data/transforms.py
+                # *_uint8 variants, native decode_batch_u8)
+                from bayesvlm_tpu.data.transforms import NORMALIZATION_BY_FAMILY
+
+                mean, std = NORMALIZATION_BY_FAMILY[family]
+                x = pixels.astype(jnp.float32) / 255.0
+                pixels = (x - jnp.asarray(mean, jnp.float32)) \
+                    / jnp.asarray(std, jnp.float32)
             out = self.module.apply({"params": params}, pixels)
             if family == "siglip":
                 embeds, activations, residuals = out

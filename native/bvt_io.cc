@@ -174,11 +174,12 @@ static inline void bilinear(const uint8_t* src, int sw, int sh, float x,
 struct DecodeTask {
   const uint8_t* const* datas;
   const uint64_t* lens;
-  float* out;       // [n, size, size, 3]
+  float* out;       // [n, size, size, 3]; null in uint8 mode
+  uint8_t* out_u8;  // [n, size, size, 3]; null in float mode
   int n;
   int size;
   int square_resize;  // 1 = SigLIP square resize; 0 = shorter-side + crop
-  const float* mean;  // [3]
+  const float* mean;  // [3] (float mode only)
   const float* stdv;  // [3]
   int* status;        // per-image 0/err
   int next;           // shared work index
@@ -188,39 +189,50 @@ struct DecodeTask {
 static void process_one(DecodeTask* t, int i) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
+  int S = t->size;
+  size_t plane = (size_t)S * S * 3;
   if (decode_rgb(t->datas[i], t->lens[i], &rgb, &w, &h) != 0) {
     t->status[i] = -1;
-    memset(t->out + (size_t)i * t->size * t->size * 3, 0,
-           sizeof(float) * t->size * t->size * 3);
+    if (t->out_u8)
+      memset(t->out_u8 + (size_t)i * plane, 0, plane);
+    else
+      memset(t->out + (size_t)i * plane, 0, sizeof(float) * plane);
     return;
   }
-  int S = t->size;
-  float* dst = t->out + (size_t)i * S * S * 3;
+  float* dstf = t->out ? t->out + (size_t)i * plane : nullptr;
+  uint8_t* dstu = t->out_u8 ? t->out_u8 + (size_t)i * plane : nullptr;
   float px[3];
-  if (t->square_resize) {
-    for (int yy = 0; yy < S; ++yy) {
-      for (int xx = 0; xx < S; ++xx) {
-        float sx = (xx + 0.5f) * w / S - 0.5f;
-        float sy = (yy + 0.5f) * h / S - 0.5f;
-        bilinear(rgb.data(), w, h, sx, sy, px);
-        float* o = dst + ((size_t)yy * S + xx) * 3;
-        for (int c = 0; c < 3; ++c)
-          o[c] = (px[c] / 255.0f - t->mean[c]) / t->stdv[c];
-      }
-    }
-  } else {
+  float scale = 1.0f, ox = 0.0f, oy = 0.0f;
+  if (!t->square_resize) {
     // shorter-side resize to S, center crop S x S
-    float scale = (w <= h) ? (float)w / S : (float)h / S;
+    scale = (w <= h) ? (float)w / S : (float)h / S;
     float rw = w / scale, rh = h / scale;
-    float ox = (rw - S) * 0.5f, oy = (rh - S) * 0.5f;
-    for (int yy = 0; yy < S; ++yy) {
-      for (int xx = 0; xx < S; ++xx) {
-        float sx = (xx + ox + 0.5f) * scale - 0.5f;
-        float sy = (yy + oy + 0.5f) * scale - 0.5f;
-        bilinear(rgb.data(), w, h, sx, sy, px);
-        float* o = dst + ((size_t)yy * S + xx) * 3;
+    ox = (rw - S) * 0.5f;
+    oy = (rh - S) * 0.5f;
+  }
+  for (int yy = 0; yy < S; ++yy) {
+    for (int xx = 0; xx < S; ++xx) {
+      float sx, sy;
+      if (t->square_resize) {
+        sx = (xx + 0.5f) * w / S - 0.5f;
+        sy = (yy + 0.5f) * h / S - 0.5f;
+      } else {
+        sx = (xx + ox + 0.5f) * scale - 0.5f;
+        sy = (yy + oy + 0.5f) * scale - 0.5f;
+      }
+      bilinear(rgb.data(), w, h, sx, sy, px);
+      size_t off = ((size_t)yy * S + xx) * 3;
+      if (dstu) {
+        // uint8 lane: quantize like PIL's uint8 resize output; the
+        // /255-mean-std normalize runs in-graph on device (4x less
+        // host->device traffic, zero host float math)
+        for (int c = 0; c < 3; ++c) {
+          float v = px[c] + 0.5f;
+          dstu[off + c] = (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+        }
+      } else {
         for (int c = 0; c < 3; ++c)
-          o[c] = (px[c] / 255.0f - t->mean[c]) / t->stdv[c];
+          dstf[off + c] = (px[c] / 255.0f - t->mean[c]) / t->stdv[c];
       }
     }
   }
@@ -238,6 +250,19 @@ static void* worker(void* arg) {
   }
 }
 
+static int run_decode(DecodeTask* t, int num_threads) {
+  t->next = 0;
+  pthread_mutex_init(&t->mu, nullptr);
+  int nt = std::max(1, std::min(num_threads, t->n));
+  std::vector<pthread_t> threads((size_t)nt);
+  for (int i = 0; i < nt; ++i) pthread_create(&threads[i], nullptr, worker, t);
+  for (int i = 0; i < nt; ++i) pthread_join(threads[i], nullptr);
+  pthread_mutex_destroy(&t->mu);
+  int ok = 0;
+  for (int i = 0; i < t->n; ++i) ok += (t->status[i] == 0);
+  return ok;
+}
+
 // Decode a batch of JPEGs into out [n, size, size, 3] float32 NHWC with
 // normalization; returns count of successfully decoded images.
 int bvt_decode_batch(const uint8_t* const* datas, const uint64_t* lens, int n,
@@ -248,24 +273,33 @@ int bvt_decode_batch(const uint8_t* const* datas, const uint64_t* lens, int n,
   t.datas = datas;
   t.lens = lens;
   t.out = out;
+  t.out_u8 = nullptr;
   t.n = n;
   t.size = size;
   t.square_resize = square_resize;
   t.mean = mean;
   t.stdv = stdv;
   t.status = status;
-  t.next = 0;
-  pthread_mutex_init(&t.mu, nullptr);
+  return run_decode(&t, num_threads);
+}
 
-  int nt = std::max(1, std::min(num_threads, n));
-  std::vector<pthread_t> threads((size_t)nt);
-  for (int i = 0; i < nt; ++i) pthread_create(&threads[i], nullptr, worker, &t);
-  for (int i = 0; i < nt; ++i) pthread_join(threads[i], nullptr);
-  pthread_mutex_destroy(&t.mu);
-
-  int ok = 0;
-  for (int i = 0; i < n; ++i) ok += (status[i] == 0);
-  return ok;
+// uint8 variant: decode + resize + crop only (no normalize); the model
+// normalizes in-graph. Same status semantics.
+int bvt_decode_batch_u8(const uint8_t* const* datas, const uint64_t* lens,
+                        int n, uint8_t* out, int size, int square_resize,
+                        int* status, int num_threads) {
+  DecodeTask t;
+  t.datas = datas;
+  t.lens = lens;
+  t.out = nullptr;
+  t.out_u8 = out;
+  t.n = n;
+  t.size = size;
+  t.square_resize = square_resize;
+  t.mean = nullptr;
+  t.stdv = nullptr;
+  t.status = status;
+  return run_decode(&t, num_threads);
 }
 
 }  // extern "C"

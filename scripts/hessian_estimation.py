@@ -48,6 +48,7 @@ def main(
     native_decode: bool = False,
     ggn_precision: str = "highest",
     dist_global_batch: bool = False,
+    u8_pipeline: bool = False,
 ):
     from bayesvlm_tpu.bayes.estimation import kfac_ggn
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
@@ -70,7 +71,14 @@ def main(
     multi_host = ctx is not None and ctx.num_hosts > 1
     config = CONFIGS_BY_NAME[model_str]
     likelihood = get_likelihood_for_model(model_str)
-    transform = get_transform(config.family, get_image_size(model_str))
+    if u8_pipeline:
+        # ship raw uint8 crops; the encoder normalizes in-graph (4x less
+        # host->device traffic + less host CPU — see data/transforms.py)
+        from bayesvlm_tpu.data.transforms import get_transform_uint8
+
+        transform = get_transform_uint8(config.family, get_image_size(model_str))
+    else:
+        transform = get_transform(config.family, get_image_size(model_str))
 
     image_encoder, text_encoder, head = load_model(model_str, weights_dir=weights_dir)
     if tokenizer_dir is not None:
@@ -99,7 +107,7 @@ def main(
             raise ValueError(f"--native_decode not supported for {dataset}")
         dm.enable_native_decode(
             get_image_size(model_str), family=config.family,
-            num_threads=num_workers,
+            num_threads=num_workers, out_uint8=u8_pipeline,
         )
         print("[native] batched C++ JPEG decode lane enabled "
               "(bilinear; see BASELINE.md for the measured delta)")
@@ -279,6 +287,11 @@ if __name__ == "__main__":
         "--native_decode", action="store_true",
         help="opt into the native C++ batched JPEG decode lane (bilinear "
         "resampling vs the default PIL bicubic; delta in BASELINE.md)")
+    parser.add_argument(
+        "--u8_pipeline", action="store_true",
+        help="ship raw uint8 crops to the device and normalize in-graph "
+        "(4x less host->device traffic; numerically equivalent up to "
+        "fp32 op order — see BASELINE.md stage-1 section)")
     args = parser.parse_args()
 
     if getattr(args, "device", None):
@@ -309,4 +322,5 @@ if __name__ == "__main__":
         native_decode=args.native_decode,
         ggn_precision=args.ggn_precision,
         dist_global_batch=args.dist_global_batch,
+        u8_pipeline=args.u8_pipeline,
     )
