@@ -191,10 +191,132 @@ def bench_knn():
                      "the reference publishes no perf numbers")
 
 
+def bench_serve():
+    """Serving latency for pipeline.ProbabilisticVLM's Stage-2 chain
+    (preprocess -> image tower -> Smith head -> probit softmax) at
+    B=1/8/32, C=100 class prompts, ViT-L bf16 + fused Pallas attention
+    (the interactive notebook shape, ref:notebooks/zeroshot.ipynb cells
+    13-18).
+
+    Two numbers per batch size:
+      - compute_ms: in-graph serialized-loop device latency (the
+        hardware-true number; host async timing lies over the tunnel)
+      - wall_ms p50/p95: full predict() wall time incl. host->device,
+        execution, fetch — on this dev setup it carries a ~0.3-0.5 s
+        tunnel round-trip floor that does NOT exist on a real host.
+    Host preprocess (PIL transform) is reported separately per image.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import dataclasses
+
+    from PIL import Image
+
+    from bayesvlm_tpu.data.transforms import default_transform
+    from bayesvlm_tpu.models.clip import CLIPVisionTower
+    from bayesvlm_tpu.models.configs import CLIP_L14_CONFIG as cfg
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+    from bayesvlm_tpu.probforward.smith import _smith_forward
+
+    vision_cfg = dataclasses.replace(cfg.vision, attn_pallas=True)
+    module = CLIPVisionTower(vision_cfg, dtype=jnp.bfloat16)
+    rng_np = np.random.default_rng(0)
+    dummy = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), dummy))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            rng_np.normal(0.0, 0.02, s.shape).astype(np.float32), s.dtype),
+        shapes)["params"]
+    params = cast_gemm_params(params, jnp.bfloat16)
+
+    C, D, P, Pt = 100, cfg.vision.projection_dim, cfg.vision.hidden_size, \
+        cfg.text.hidden_size
+    te = jnp.asarray(rng_np.normal(size=(C, D)), jnp.float32)
+    ta = jnp.asarray(rng_np.normal(size=(C, Pt)), jnp.float32)
+    sA, sB = jnp.eye(P) * 1e-3, jnp.full((D,), 1e-3)
+    tA, tB = jnp.eye(Pt) * 1e-3, jnp.full((D,), 1e-3)
+    scale = jnp.asarray(4.6052, jnp.float32)
+
+    # host preprocess cost (PIL bicubic chain)
+    tform = default_transform(224)
+    pil = Image.fromarray(
+        rng_np.integers(0, 255, size=(480, 640, 3), dtype=np.uint8))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        tform(pil)
+    preprocess_ms = (time.perf_counter() - t0) / 20 * 1e3
+
+    detail = {"preprocess_ms_per_image": round(preprocess_ms, 2),
+              "num_classes": C, "batches": {}}
+    compute_b1 = None
+    for B in (1, 8, 32):
+        pixels = jnp.asarray(
+            rng_np.normal(size=(B, 224, 224, 3)), jnp.bfloat16)
+
+        def predict_graph(params, pixels):
+            e, a = module.apply({"params": params}, pixels)
+            m, v = _smith_forward(e, a, te, ta, sA, sB, tA, tB, scale,
+                                  False, False)
+            return jax.nn.softmax(
+                m / jnp.sqrt(1.0 + jnp.pi / 8 * v), axis=-1)
+
+        N_ITER = 20
+
+        @jax.jit
+        def loop(params, pixels):
+            def body(i, carry):
+                x = pixels + (carry * 1e-20).astype(pixels.dtype)
+                return jnp.sum(predict_graph(params, x)[0]).astype(
+                    jnp.float32)
+            return jax.lax.fori_loop(0, N_ITER, body, jnp.float32(0.0))
+
+        compute_ms = _best_ms(loop, (params, pixels), n_iter=N_ITER, reps=3)
+
+        jit_predict = jax.jit(predict_graph)
+        host_pixels = np.asarray(
+            rng_np.normal(size=(B, 224, 224, 3)), np.float32)
+        np.asarray(jit_predict(params, jnp.asarray(host_pixels,
+                                                   jnp.bfloat16)))
+        walls = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            np.asarray(jit_predict(
+                params, jnp.asarray(host_pixels, jnp.bfloat16)))
+            walls.append((time.perf_counter() - t0) * 1e3)
+        walls.sort()
+        detail["batches"][f"B{B}"] = {
+            "compute_ms": round(compute_ms, 2),
+            "wall_ms_p50": round(walls[len(walls) // 2], 1),
+            "wall_ms_p95": round(walls[int(len(walls) * 0.95) - 1], 1),
+        }
+        if B == 1:
+            compute_b1 = compute_ms
+
+    print(json.dumps({
+        "metric": "serve_probabilistic_zeroshot_latency_b1",
+        "value": round(compute_b1, 2), "unit": "ms",
+        "vs_baseline": None,
+        "baseline": "no reference serving latency exists (scripts only); "
+                    "compute_ms is in-graph device latency, wall_ms "
+                    "includes this dev setup's ~0.3-0.5 s tunnel RTT "
+                    "floor absent on real hosts",
+        "detail": detail,
+    }))
+
+
 STAGE1_FIXTURE = "/root/.cache/bvt_stage1_fixture"
 
 
-def _ensure_stage1_fixture(n_tars=16, per_tar=2048):
+def _ensure_stage1_fixture(n_tars=17, per_tar=2048):
+    # 17 tars = 34816 pairs: >= C=32768 survives the loaders' drop_last
+    # (B=80 trims to 34800)
     """LAION-style synthetic shards: jpg (256-512 px, q85) + txt pairs.
     Generated once, reused across runs (~1.2 GB for the full 32768)."""
     import io as _io
@@ -266,6 +388,12 @@ def bench_stage1():
     C = 32768
     CHIP_IMG_S = 934.0  # measured headline encoder rate (BASELINE.md)
 
+    def progress(msg):
+        print(f"[stage1 +{time.time() - T_START:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    T_START = time.time()
+
     def make_dm(u8: bool, native: bool, threads: int = 1):
         tf_fn = (get_transform_uint8 if u8 else get_transform)("clip", 224)
         dm = DataModuleFactory(batch_size=80, num_workers=threads,
@@ -295,6 +423,7 @@ def bench_stage1():
         t0 = time.time()
         n = sum(b["image"].shape[0] for b in dm.test_dataloader())
         feed[name] = round(n / (time.time() - t0), 1)
+        progress(f"feed-only {name}: {feed[name]} img/s")
 
     # --- end-to-end Stage-1, production lane (native decode, u8) ---
     config = CONFIGS_BY_NAME["clip-large"]
@@ -310,6 +439,7 @@ def bench_stage1():
     warm = next(iter(dm.test_dataloader()))
     img_enc(jnp.asarray(warm["image"]))
     txt_enc.encode_texts(warm["text"])
+    progress("towers warm, starting timed e2e")
 
     t0 = time.time()
     acts_img, emb_img = compute_features(
@@ -318,16 +448,18 @@ def bench_stage1():
     acts_txt, emb_txt = compute_features(
         txt_enc, dm.test_dataloader(), cache_dir=None, modality="text")
     t_txt = time.time() - t0 - t_img
+    progress(f"features done: img {t_img:.0f}s txt {t_txt:.0f}s")
 
     t1 = time.time()
     A_img, B_img = kfac_ggn(
         head.logit_scale, head.logit_bias, C, emb_img, acts_img, emb_txt,
-        "infonce", block_size=2048)
+        "info_nce", block_size=2048)
     A_txt, B_txt = kfac_ggn(
         head.logit_scale, head.logit_bias, C, emb_txt, acts_txt, emb_img,
-        "infonce", block_size=2048)
+        "info_nce", block_size=2048)
     jax.block_until_ready((A_img, B_img, A_txt, B_txt))
     t_ggn = time.time() - t1
+    progress(f"ggn done: {t_ggn:.0f}s")
 
     t2 = time.time()
     lam_i = float(optimize_prior_precision(
@@ -359,6 +491,14 @@ def bench_stage1():
             min(1.0, (n_pairs / feed["native_u8"]) / t_img), 3),
         "workers_to_saturate_chip": {
             k: int(np.ceil(CHIP_IMG_S / v)) for k, v in feed.items()},
+        # Steady-state real-host bound from the measured components: with
+        # >=2 native-u8 decode cores the image pass runs at the chip rate
+        # and the GGN is sub-second warm, so e2e ~= chip-rate-limited.
+        # MODELED (this host cannot overlap transfers), not measured.
+        "modeled_real_host_pairs_s": round(1.0 / (
+            1.0 / min(CHIP_IMG_S, 2 * feed["native_u8"])
+            + 1.0 / max(1.0, n_pairs / t_txt)
+            + 1.0 / 176_000.0), 1),
     }
     print(json.dumps({
         "metric": "stage1_hessian_pipeline_e2e",
@@ -476,5 +616,7 @@ if __name__ == "__main__":
         bench_knn()
     elif "--metric" in sys.argv and "stage1" in sys.argv:
         bench_stage1()
+    elif "--metric" in sys.argv and "serve" in sys.argv:
+        bench_serve()
     else:
         main()
