@@ -264,7 +264,11 @@ if __name__ == "__main__":
     parser.add_argument("--weights_dir", type=str, default=None)
     parser.add_argument("--tokenizer_dir", type=str, default=None)
     # TPU-repo extras: EPIG sizing knobs (main() kwargs in the reference)
-    parser.add_argument("--epig_num_samples", type=int, default=100)
+    parser.add_argument(
+        "--epig_num_samples", type=int, default=100,
+        help="EPIG MC samples (reference default 100). On TPU, 128 is "
+        "measured free through the fused Pallas kernel (its contraction "
+        "axis pads 100->128) and cuts MC error ~19%% — see BASELINE.md")
     parser.add_argument("--epig_pool_max_size", type=int, default=40_000)
     parser.add_argument("--epig_target_max_size", type=int, default=20_000)
     args = parser.parse_args()

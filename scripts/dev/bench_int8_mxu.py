@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -49,7 +50,7 @@ def make_matmul(in_dtype, acc_dtype):
             ],
             out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j)),
             out_shape=jax.ShapeDtypeStruct((M, N), acc_dtype),
-            compiler_params=pl.tpu.CompilerParams(
+            compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")),
         )(a, b)
 
@@ -64,14 +65,14 @@ def bench(name, mm, a, b, reduce_dtype):
             out = mm(aa, b)
             return (out[0, 0] * 0).astype(reduce_dtype)
         return jax.lax.fori_loop(
-            0, 10, body, jnp.zeros((), reduce_dtype))
+            0, 5, body, jnp.zeros((), reduce_dtype))
 
     float(loop(a, b))
     best = None
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         float(loop(a, b))
-        dt = (time.perf_counter() - t0) / 10
+        dt = (time.perf_counter() - t0) / 5
         best = dt if best is None else min(best, dt)
     ops = 2 * M * K * N
     print(f"{name}: {best*1e3:.2f} ms = {ops/best/1e12:.1f} Top/s")
