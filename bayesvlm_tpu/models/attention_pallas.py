@@ -342,9 +342,13 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=B * num_heads * T * T,
         ),
         # batch rows are independent: parallel semantics lets Mosaic
-        # overlap grid iterations (measured 1.139 -> 1.106 ms at B=80)
+        # overlap grid iterations (measured 1.139 -> 1.106 ms at B=80).
+        # vmem_limit: at D>=1280 (ViT-H) the resident q/k/v/o rows + fp32
+        # scores scratch overflow the 16 MB default scoped cap by ~0.7 MB;
+        # the chip has 128 MB (same raise as the split-key variant above).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         # CPU (tests, virtual meshes): run the kernel in interpret mode
         interpret=interpret,

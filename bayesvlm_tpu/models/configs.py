@@ -38,6 +38,10 @@ class VisionConfig:
     attn_pallas: bool = False
     # whole-sublayer kernel (QKV + attention + out-proj in VMEM)
     attn_pallas_block: bool = False
+    # fused W8A8 int8 MLP kernel (models/mlp_int8.py): ~2x MXU rate on
+    # the fc1/fc2 GEMMs. Approximate — opt-in only; calibration deltas
+    # in BASELINE.md. Vision towers only (text towers are <2% of time).
+    mlp_int8: bool = False
 
     @property
     def num_patches(self) -> int:

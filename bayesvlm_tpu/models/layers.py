@@ -178,9 +178,20 @@ class MLP(nn.Module):
     mlp_dim: int
     hidden_act: str
     dtype: jnp.dtype = jnp.float32
+    # fused W8A8 int8 kernel (models/mlp_int8.py) — opt-in, approximate;
+    # param tree is unchanged (kernel consumes the same fc1/fc2 weights)
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.use_int8:
+            from bayesvlm_tpu.models.mlp_int8 import mlp_int8
+
+            w1, b1 = _DenseParams(self.mlp_dim, self.hidden_size,
+                                  name="fc1")()
+            w2, b2 = _DenseParams(self.hidden_size, self.mlp_dim,
+                                  name="fc2")()
+            return mlp_int8(x, w1, b1, w2, b2, act_name=self.hidden_act)
         act_name = self.hidden_act
         # erf-GELU is VPU-transcendental-bound on TPU (~14% of a ViT-L
         # forward); the tanh approximation's error (~1e-3 relative) is
@@ -220,6 +231,7 @@ class TransformerBlock(nn.Module):
     softmax_fp32: bool = True
     attn_pallas: bool = False
     attn_pallas_block: bool = False
+    mlp_int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -251,6 +263,7 @@ class TransformerBlock(nn.Module):
             mlp_dim=self.mlp_dim,
             hidden_act=self.hidden_act,
             dtype=self.dtype,
+            use_int8=self.mlp_int8,
             name="mlp",
         )(h)
         return x
@@ -268,6 +281,7 @@ class _ScanBlock(nn.Module):
     softmax_fp32: bool = True
     attn_pallas: bool = False
     attn_pallas_block: bool = False
+    mlp_int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array]):
@@ -281,6 +295,7 @@ class _ScanBlock(nn.Module):
             softmax_fp32=self.softmax_fp32,
             attn_pallas=self.attn_pallas,
             attn_pallas_block=self.attn_pallas_block,
+            mlp_int8=self.mlp_int8,
             name="block",
         )(x, mask)
         return x, None
@@ -308,6 +323,7 @@ class TransformerEncoder(nn.Module):
     softmax_fp32: bool = True
     attn_pallas: bool = False
     attn_pallas_block: bool = False
+    mlp_int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -335,6 +351,7 @@ class TransformerEncoder(nn.Module):
             softmax_fp32=self.softmax_fp32,
             attn_pallas=self.attn_pallas,
             attn_pallas_block=self.attn_pallas_block,
+            mlp_int8=self.mlp_int8,
             name="layers",
         )
         x, _ = scanned(x, mask)

@@ -1,0 +1,180 @@
+"""Fused W8A8 int8 MLP kernel (Pallas/Mosaic, TPU).
+
+Why: the MXU on this chip runs int8xint8->int32 at ~2x its bf16 rate
+(329 vs 167 Top/s measured kernel-vs-kernel — BASELINE.md "int8 below
+XLA", round 5), but XLA's own int8 path reaches only x1.21 and its
+dynamic quantize/dequant ops add full HBM round trips. This kernel takes
+the transformer MLP (fc1 -> GELU -> fc2, 39% of ViT-L tower time) and
+runs the whole sublayer in one VMEM-resident program per row block:
+
+    x[bf16] -> per-row absmax int8 quantize     (VPU, in VMEM)
+            -> int8 GEMM1 vs resident W1q       (MXU double rate)
+            -> dequant + bias + tanh-GELU       (fp32, VPU)
+            -> per-row absmax int8 re-quantize  (VPU)
+            -> int8 GEMM2 vs resident W2q       (MXU double rate)
+            -> dequant + bias -> bf16 out
+
+The [M, mlp_dim] hidden activations never leave VMEM (the XLA bf16 path
+writes ~126 MB/layer of them to HBM at ViT-L B=80), and the quantize
+passes are fused where the data already sits, so the double-rate MXU is
+the only HBM-visible cost change. Weights are quantized per OUTPUT
+channel (symmetric absmax int8), activations per ROW — the standard
+W8A8 dynamic-quantization recipe; both GEMMs accumulate in int32
+(exact), all dequant math in fp32.
+
+Numerics contract: this is an approximation (int8 has ~0.4% per-element
+round-off vs each row/channel absmax). It is OPT-IN via
+`VisionConfig.mlp_int8` / `MLP(use_int8=True)`, default off everywhere;
+the measured end-to-end calibration deltas (ECE, argmax flips) live in
+BASELINE.md next to the throughput numbers, following the established
+bf16/tanh-GELU methodology. Weight quantization happens per forward
+call (XLA ops, ~0.03 ms/layer — negligible for inference pipelines;
+hoist with `quantize_mlp_params` if it ever shows up in a profile).
+
+No reference counterpart (the reference is fp32/fp16 torch;
+ref:bayesvlm/vlm.py:21-25 model forward). TPU-first design per the
+SURVEY §7 fusion strategy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bayesvlm_tpu.models.attention_pallas import _out_struct
+
+_EPS = 1e-12
+
+
+def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric absmax int8: w [K, N] -> (int8 [K, N],
+    fp32 scale [1, N]) with w ~= wq * scale."""
+    w = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), _EPS) / 127.0
+    wq = jnp.round(w / s).astype(jnp.int8)  # |w/s| <= 127 by construction
+    return wq, s
+
+
+def _tanh_gelu(x):
+    # fp32 tanh-GELU — same approximation the production bf16 MLP uses
+    # (models/layers.py MLP: erf-GELU is VPU-bound; error below bf16
+    # rounding noise)
+    c = jnp.float32(0.7978845608028654)  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_ACTS = {"gelu_tanh": _tanh_gelu, "quick_gelu": _quick_gelu}
+
+
+def _quant_rows(x_f32):
+    """Per-row symmetric absmax int8 within VMEM: [TM, K] fp32 ->
+    (int8 [TM, K], fp32 row scale [TM, 1])."""
+    r = jnp.maximum(jnp.max(jnp.abs(x_f32), axis=1, keepdims=True), _EPS)
+    scale = r * (1.0 / 127.0)
+    q = jnp.round(x_f32 * (127.0 / r)).astype(jnp.int8)
+    return q, scale
+
+
+def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                     o_ref, *, act_name: str):
+    act = _ACTS[act_name]
+    x = x_ref[:].astype(jnp.float32)                      # [TM, D]
+    xq, xs = _quant_rows(x)
+    h = jax.lax.dot_general(
+        xq, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                     # [TM, F] int32
+    hf = h.astype(jnp.float32) * xs * s1_ref[0] + b1_ref[0]
+    a = act(hf)
+    aq, as_ = _quant_rows(a)
+    o = jax.lax.dot_general(
+        aq, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                     # [TM, D] int32
+    of = o.astype(jnp.float32) * as_ * s2_ref[0] + b2_ref[0]
+    o_ref[:] = of.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act_name", "block_m"))
+def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
+             b2: jax.Array, act_name: str = "gelu_tanh",
+             block_m: int = 256) -> jax.Array:
+    """W8A8 MLP sublayer: x [..., D] -> fc2(act(fc1(x))) [..., D].
+
+    w1 [D, F], b1 [F], w2 [F, D], b2 [D] in fp32/bf16 (quantized here);
+    output dtype matches x. Rows are independent, so any leading shape
+    flattens to the kernel's [M, D] row grid; ragged last blocks are
+    masked by Pallas (padded rows never reach the output).
+    """
+    if act_name == "gelu":  # bf16 production substitution, as in MLP
+        act_name = "gelu_tanh"
+    if act_name not in _ACTS:
+        raise ValueError(f"mlp_int8: unsupported activation {act_name!r}")
+    orig_shape = x.shape
+    D = orig_shape[-1]
+    F = w1.shape[1]
+    xm = x.reshape(-1, D)
+    M = xm.shape[0]
+    tm = min(block_m, M)
+
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    b1f = b1.astype(jnp.float32).reshape(1, F)
+    b2f = b2.astype(jnp.float32).reshape(1, D)
+
+    grid = (pl.cdiv(M, tm),)
+    row = pl.BlockSpec((tm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_int8_kernel, act_name=act_name),
+        grid=grid,
+        in_specs=[row, const((D, F)), const((1, F)), const((1, F)),
+                  const((F, D)), const((1, D)), const((1, D))],
+        out_specs=row,
+        out_shape=_out_struct((M, D), x),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * D * F,
+            bytes_accessed=2 * M * D * x.dtype.itemsize + 2 * D * F,
+            transcendentals=M * F,
+        ),
+        # resident W1q/W2q + [TM, F] fp32 intermediates overflow the
+        # 16 MB default scoped-vmem cap at ViT shapes; the chip has
+        # 128 MB (see attention_pallas split-key note)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xm, w1q, s1, b1f, w2q, s2, b2f)
+    return out.reshape(orig_shape)
+
+
+def mlp_int8_reference(x, w1, b1, w2, b2, act_name="gelu_tanh"):
+    """Pure-jnp emulation of the kernel's exact math (same quantization,
+    same fp32 dequant chain) — the unit-test oracle."""
+    if act_name == "gelu":
+        act_name = "gelu_tanh"
+    act = _ACTS[act_name]
+    orig_shape = x.shape
+    xm = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    xq, xs = _quant_rows(xm)
+    h = jnp.dot(xq.astype(jnp.int32), w1q.astype(jnp.int32))
+    hf = h.astype(jnp.float32) * xs * s1 + b1.astype(jnp.float32)[None, :]
+    a = act(hf)
+    aq, as_ = _quant_rows(a)
+    o = jnp.dot(aq.astype(jnp.int32), w2q.astype(jnp.int32))
+    of = o.astype(jnp.float32) * as_ * s2 + b2.astype(jnp.float32)[None, :]
+    return of.astype(x.dtype).reshape(orig_shape)

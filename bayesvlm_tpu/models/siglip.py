@@ -81,6 +81,7 @@ class SiglipVisionTower(nn.Module):
             softmax_fp32=cfg.attn_softmax_fp32,
             attn_pallas=cfg.attn_pallas,
             attn_pallas_block=cfg.attn_pallas_block,
+            mlp_int8=getattr(cfg, "mlp_int8", False),
             name="encoder",
         )(h)
         h = LayerNormFP32(

@@ -1,0 +1,131 @@
+"""Fused W8A8 int8 MLP kernel (models/mlp_int8.py) — interpret-mode
+parity on CPU; the same kernel runs compiled on TPU (throughput +
+calibration deltas in BASELINE.md).
+
+The kernel is an APPROXIMATION (opt-in via VisionConfig.mlp_int8): the
+oracle is `mlp_int8_reference`, a pure-jnp emulation of its exact
+quantize/dequant math, which the kernel must match bit-for-bit; the
+distance to the exact fp32 MLP is bounded loosely (int8 round-off).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesvlm_tpu.models import load_model
+from bayesvlm_tpu.models.clip import CLIPVisionTower
+from bayesvlm_tpu.models.configs import TINY_CLIP_CONFIG, TINY_SIGLIP_CONFIG
+from bayesvlm_tpu.models.mlp_int8 import (
+    mlp_int8,
+    mlp_int8_reference,
+    quantize_weight,
+)
+from bayesvlm_tpu.models.siglip import SiglipVisionTower
+
+
+def _rand_mlp(rng, D, F):
+    w1 = jnp.asarray(rng.normal(0, 0.05, size=(D, F)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.01, size=(F,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.05, size=(F, D)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.01, size=(D,)), jnp.float32)
+    return w1, b1, w2, b2
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+    wq, s = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and s.shape == (1, 48)
+    assert int(jnp.max(jnp.abs(wq.astype(jnp.int32)))) <= 127
+    # per-channel absmax maps the largest |w| of each column to +-127
+    np.testing.assert_allclose(
+        np.abs(np.asarray(wq)).max(axis=0), np.full(48, 127))
+    err = np.abs(np.asarray(wq.astype(jnp.float32) * s - w))
+    assert err.max() <= np.asarray(s).max() / 2 + 1e-6  # round-off bound
+
+
+def _assert_matches_emulation(out, ref):
+    """Kernel vs emulation up to single int8-step flips: FMA contraction
+    differences between the Pallas interpreter and the pure-jnp oracle
+    can move a pre-round value by 1 ulp and flip `round()` by one step,
+    perturbing isolated outputs by ~(r2*s2*|w2q|)/127. Flip noise is
+    sparse and tiny; a systematic bug (wrong scale axis, missing /127)
+    shifts EVERY element, so bound both the max and the mean."""
+    out = np.asarray(out, np.float32)
+    ref = np.asarray(ref, np.float32)
+    scale = np.abs(ref).max() + 1e-12
+    d = np.abs(out - ref)
+    assert d.max() <= 0.02 * scale, (d.max(), scale)
+    assert d.mean() <= 0.002 * scale, (d.mean(), scale)
+
+
+@pytest.mark.parametrize("act", ["gelu", "gelu_tanh", "quick_gelu"])
+@pytest.mark.parametrize("block_m", [16, 64])
+def test_kernel_matches_emulation(act, block_m):
+    """Interpret-mode kernel == pure-jnp emulation (up to int8-step flip
+    noise), incl. ragged last row block (M=40 vs block_m=16) and the
+    gelu->gelu_tanh substitution."""
+    rng = np.random.default_rng(1)
+    D, F = 64, 256
+    x = jnp.asarray(rng.normal(size=(2, 20, D)), jnp.bfloat16)
+    w1, b1, w2, b2 = _rand_mlp(rng, D, F)
+    out = mlp_int8(x, w1, b1, w2, b2, act_name=act, block_m=block_m)
+    ref = mlp_int8_reference(x, w1, b1, w2, b2, act_name=act)
+    assert out.dtype == x.dtype and out.shape == x.shape
+    _assert_matches_emulation(out, ref)
+
+
+def test_error_vs_exact_fp32_is_int8_roundoff():
+    rng = np.random.default_rng(2)
+    D, F = 64, 256
+    x = jnp.asarray(rng.normal(size=(4, 8, D)), jnp.float32)
+    w1, b1, w2, b2 = _rand_mlp(rng, D, F)
+    out = np.asarray(
+        mlp_int8(x, w1, b1, w2, b2, act_name="gelu_tanh"), np.float32)
+    h = jax.nn.gelu(x.reshape(-1, D) @ w1 + b1, approximate=True)
+    exact = np.asarray((h @ w2 + b2).reshape(x.shape))
+    rel = np.linalg.norm(out - exact) / np.linalg.norm(exact)
+    assert rel < 0.05, rel  # typical W8A8 round-off ~1-2% rel L2
+
+
+def test_zero_rows_are_safe():
+    """All-zero activation rows must not divide by zero in the per-row
+    absmax scales."""
+    rng = np.random.default_rng(3)
+    D, F = 32, 64
+    x = jnp.zeros((1, 4, D), jnp.float32)
+    w1, b1, w2, b2 = _rand_mlp(rng, D, F)
+    out = np.asarray(mlp_int8(x, w1, b1, w2, b2))
+    assert np.isfinite(out).all()
+    # exact result for x=0 is fc2(act(b1)) + b2 quantized; just sanity:
+    ref = np.asarray(mlp_int8_reference(x, w1, b1, w2, b2))
+    _assert_matches_emulation(out, ref)
+
+
+@pytest.mark.parametrize("cfg,tower_cls,img_name", [
+    (TINY_CLIP_CONFIG, CLIPVisionTower, "tiny-clip"),
+    (TINY_SIGLIP_CONFIG, SiglipVisionTower, "tiny-siglip"),
+])
+def test_tower_with_int8_mlp_close_to_default(cfg, tower_cls, img_name):
+    """mlp_int8=True swaps the kernel under an unchanged param tree; the
+    tiny fp32 tower output stays within a few percent (relative) of the
+    exact path."""
+    img, _, _ = load_model(img_name, dtype=jnp.float32, seed=0)
+    vcfg = dataclasses.replace(cfg.vision, mlp_int8=True)
+    tower_q = tower_cls(vcfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(4)
+    s = cfg.vision.image_size
+    x = jnp.asarray(rng.normal(size=(2, s, s, 3)), jnp.float32)
+    ref = img.module.apply({"params": img.params}, x)
+    got = tower_q.apply({"params": img.params}, x)
+    e_ref, e_q = np.asarray(ref[0]), np.asarray(got[0])
+    rel = np.linalg.norm(e_q - e_ref) / np.linalg.norm(e_ref)
+    assert rel < 0.10, rel
+    # embeddings must still point the same way (cosine per row)
+    cos = (e_q * e_ref).sum(-1) / (
+        np.linalg.norm(e_q, axis=-1) * np.linalg.norm(e_ref, axis=-1))
+    assert cos.min() > 0.98, cos
