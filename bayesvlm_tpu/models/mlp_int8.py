@@ -108,7 +108,7 @@ def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 @functools.partial(jax.jit, static_argnames=("act_name", "block_m"))
 def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
              b2: jax.Array, act_name: str = "gelu_tanh",
-             block_m: int = 256) -> jax.Array:
+             block_m: int = 512) -> jax.Array:
     """W8A8 MLP sublayer: x [..., D] -> fc2(act(fc1(x))) [..., D].
 
     w1 [D, F], b1 [F], w2 [F, D], b2 [D] in fp32/bf16 (quantized here);
@@ -125,14 +125,24 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     F = w1.shape[1]
     xm = x.reshape(-1, D)
     M = xm.shape[0]
-    tm = min(block_m, M)
+    # Pad rows to a 32-multiple: a ragged last block whose row count is
+    # not sublane-aligned faults Mosaic's masked int8 path on hardware
+    # (reproducible TPU-worker crash at M=36*257; 32 covers the int8
+    # (32,128) tile, and multiples of 8 like M=32*257 were fine). Zero
+    # rows are safe through the per-row quantize (absmax clamped to
+    # _EPS) and are sliced off below.
+    row_pad = (-M) % 32
+    if row_pad:
+        xm = jnp.pad(xm, ((0, row_pad), (0, 0)))
+    Mp = xm.shape[0]
+    tm = min(block_m, Mp)
 
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
     b1f = b1.astype(jnp.float32).reshape(1, F)
     b2f = b2.astype(jnp.float32).reshape(1, D)
 
-    grid = (pl.cdiv(M, tm),)
+    grid = (pl.cdiv(Mp, tm),)
     row = pl.BlockSpec((tm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -142,11 +152,11 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
         in_specs=[row, const((D, F)), const((1, F)), const((1, F)),
                   const((F, D)), const((1, D)), const((1, D))],
         out_specs=row,
-        out_shape=_out_struct((M, D), x),
+        out_shape=_out_struct((Mp, D), x),
         cost_estimate=pl.CostEstimate(
-            flops=4 * M * D * F,
-            bytes_accessed=2 * M * D * x.dtype.itemsize + 2 * D * F,
-            transcendentals=M * F,
+            flops=4 * Mp * D * F,
+            bytes_accessed=2 * Mp * D * x.dtype.itemsize + 2 * D * F,
+            transcendentals=Mp * F,
         ),
         # resident W1q/W2q + [TM, F] fp32 intermediates overflow the
         # 16 MB default scoped-vmem cap at ViT shapes; the chip has
@@ -157,6 +167,8 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
         ),
         interpret=jax.default_backend() != "tpu",
     )(xm, w1q, s1, b1f, w2q, s2, b2f)
+    if row_pad:
+        out = out[:M]
     return out.reshape(orig_shape)
 
 

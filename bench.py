@@ -513,6 +513,134 @@ def bench_stage1():
     }))
 
 
+def bench_family():
+    """Secondary metric: per-family vision-tower throughput at the swept
+    sweet spots (BASELINE.md "Per-family batch sweep", round 5):
+    ViT-H/14 B=48, SigLIP-base B=192, SigLIP-large B=80. Full batch
+    sweep: scripts/dev/bench_family_sweep.py. Model set per
+    ref:bayesvlm/vlm.py:21-25."""
+    import dataclasses
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bayesvlm_tpu.models.clip import CLIPVisionTower
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+    from bayesvlm_tpu.models.siglip import SiglipVisionTower
+
+    SWEET = {"clip-huge": 48, "siglip-base": 192, "siglip-large": 80}
+    N_ITER = 20
+    detail = {}
+    for model_str, B in SWEET.items():
+        cfg = CONFIGS_BY_NAME[model_str]
+        vcfg = dataclasses.replace(cfg.vision, attn_pallas=True)
+        cls = SiglipVisionTower if cfg.family == "siglip" else CLIPVisionTower
+        module = cls(vcfg, dtype=jnp.bfloat16)
+        rng_np = np.random.default_rng(0)
+        dummy = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3),
+                          jnp.bfloat16)
+        shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), dummy))
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.asarray(
+                rng_np.normal(0.0, 0.02, s.shape).astype(np.float32),
+                s.dtype),
+            shapes)["params"]
+        params = cast_gemm_params(params, jnp.bfloat16)
+        pixels = jnp.asarray(
+            np.random.default_rng(1).normal(
+                size=(B, vcfg.image_size, vcfg.image_size, 3)),
+            jnp.bfloat16)
+
+        @jax.jit
+        def loop(params, pixels, module=module):
+            def body(i, carry):
+                x = pixels + (carry * 1e-20).astype(pixels.dtype)
+                out = module.apply({"params": params}, x)
+                return jnp.sum(out[0][0]).astype(jnp.float32)
+            return jax.lax.fori_loop(0, N_ITER, body, jnp.float32(0.0))
+
+        ms = _best_ms(loop, (params, pixels), n_iter=N_ITER)
+        detail[model_str] = {"B": B, "img_s": round(B / ms * 1e3, 1)}
+
+    print(_json.dumps({
+        "metric": "family_vision_tower_throughput",
+        "value": detail["clip-huge"]["img_s"], "unit": "images/sec/chip",
+        "vs_baseline": round(detail["clip-huge"]["img_s"] / 396.0, 3),
+        "baseline": "our own round-2 ViT-H measurement (396 img/s @B=32, "
+                    "pre-staged-schedule); NOT a reference torch number",
+        "detail": detail,
+    }))
+
+
+def bench_int8():
+    """Secondary metric: ViT-L/14 vision tower with the opt-in fused
+    W8A8 int8 MLP kernel (models/mlp_int8.py, --mlp_int8 in the CLIs) at
+    its swept sweet spot B=32. Approximate path — end-to-end calibration
+    deltas (dECE -0.0027 on the H2H fixtures, 0/80 argmax flips) in
+    BASELINE.md "int8 MLP" section; the parity headline stays bf16."""
+    import dataclasses
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bayesvlm_tpu.models.clip import CLIPVisionTower
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+
+    B = 32
+    # longer loop than the B=80 headline: at B=32 the loop body is short
+    # enough that the single dispatch+fetch RTT costs ~6% at 20 iters
+    # (slope-timed truth is 1124 img/s, scripts/dev/bench_mlp_int8.py)
+    N_ITER = 60
+    vcfg = dataclasses.replace(
+        CONFIGS_BY_NAME["clip-large"].vision, attn_pallas=True, mlp_int8=True
+    )
+    module = CLIPVisionTower(vcfg, dtype=jnp.bfloat16)
+    rng_np = np.random.default_rng(0)
+    dummy = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), dummy))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            rng_np.normal(0.0, 0.02, s.shape).astype(np.float32), s.dtype),
+        shapes)["params"]
+    params = cast_gemm_params(params, jnp.bfloat16)
+    pixels = jnp.asarray(
+        np.random.default_rng(1).normal(
+            size=(B, vcfg.image_size, vcfg.image_size, 3)),
+        jnp.bfloat16)
+
+    @jax.jit
+    def loop(params, pixels):
+        def body(i, carry):
+            x = pixels + (carry * 1e-20).astype(pixels.dtype)
+            out = module.apply({"params": params}, x)
+            return jnp.sum(out[0][0]).astype(jnp.float32)
+        return jax.lax.fori_loop(0, N_ITER, body, jnp.float32(0.0))
+
+    ms = _best_ms(loop, (params, pixels), n_iter=N_ITER)
+    img_s = round(B / ms * 1e3, 1)
+    print(_json.dumps({
+        "metric": "vitl_vision_tower_int8_mlp_throughput",
+        "value": img_s, "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / 935.0, 3),
+        "baseline": "our own bf16 parity headline (935 img/s @B=80); "
+                    "NOT a reference torch number. int8 MLP is opt-in "
+                    "and approximate (calibration deltas in BASELINE.md)",
+        "detail": {"B": B, "block_m": 512},
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -618,5 +746,9 @@ if __name__ == "__main__":
         bench_stage1()
     elif "--metric" in sys.argv and "serve" in sys.argv:
         bench_serve()
+    elif "--metric" in sys.argv and "family" in sys.argv:
+        bench_family()
+    elif "--metric" in sys.argv and "int8" in sys.argv:
+        bench_int8()
     else:
         main()

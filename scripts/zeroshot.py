@@ -32,6 +32,7 @@ def main(
     tokenizer_dir=None,
     dtype: str = "bf16",
     use_mesh: bool = True,
+    mlp_int8: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -71,7 +72,7 @@ def main(
 
     jdtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[dtype]
     image_encoder, text_encoder, head = load_model(
-        model_str, weights_dir=weights_dir, dtype=jdtype
+        model_str, weights_dir=weights_dir, dtype=jdtype, mlp_int8=mlp_int8
     )
     import jax
 
@@ -165,6 +166,10 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="bf16",
                         choices=["bf16", "fp32"])  # TPU extra
     parser.add_argument("--no_mesh", action="store_true")
+    # TPU extra: fused W8A8 int8 vision MLP (~x1.19 ViT-L end-to-end;
+    # approximate — calibration deltas in BASELINE.md). Default off for
+    # reference parity.
+    parser.add_argument("--mlp_int8", action="store_true")
     args = parser.parse_args()
 
     if getattr(args, "device", None):
@@ -183,4 +188,5 @@ if __name__ == "__main__":
         tokenizer_dir=args.tokenizer_dir,
         dtype=args.dtype,
         use_mesh=not args.no_mesh,
+        mlp_int8=args.mlp_int8,
     )

@@ -295,6 +295,43 @@ def test_full_pipeline_h2h_bf16_calibration_delta(h2h):
     assert ece == pytest.approx(ref_ece, abs=0.05)
 
 
+def test_full_pipeline_h2h_mlp_int8_calibration_delta(h2h):
+    """The opt-in W8A8 int8 vision-MLP pipeline (--mlp_int8, interpret
+    mode on CPU) against the fp32 torch reference: quantifies the
+    end-to-end calibration cost of int8 the same way the bf16 row does,
+    so the x1.19 ViT-L speedup carries a measured ECE delta
+    (BASELINE.md int8 MLP section)."""
+    tmp, weights_dir, hessian_dir, hf_vis, hf_txt = h2h
+
+    ref_info, (ref_acc, ref_nlpd, ref_ece), _ = _run_reference(
+        hessian_dir, hf_vis, hf_txt
+    )
+
+    import zeroshot as zs
+
+    acc, nlpd, ece = zs.main(
+        dataset="synthetic",
+        hessian_dir=str(hessian_dir),
+        model_str="tiny-clip",
+        pseudo_data_count=10,
+        batch_size=32,
+        num_workers=2,
+        weights_dir=str(weights_dir),
+        dtype="bf16",
+        mlp_int8=True,
+    )
+    print(
+        f"int8-MLP vs fp32-reference deltas: dACC={acc - ref_acc:+.4f} "
+        f"dNLPD={nlpd - ref_nlpd:+.5f} dECE={ece - ref_ece:+.5f}"
+    )
+    # int8 MLP perturbs embeddings ~1e-2 rel-L2; calibration must stay
+    # within the same band as bf16 (both bounds are ~5x the measured
+    # deltas on these fixtures)
+    assert acc == pytest.approx(ref_acc, abs=0.08)
+    assert nlpd == pytest.approx(ref_nlpd, abs=0.08)
+    assert ece == pytest.approx(ref_ece, abs=0.08)
+
+
 # ---------------------------------------------------------------------------
 # SigLIP family: same full-pipeline H2H (the head-surgery fc1/fc2 split and
 # bias-column conventions are the reference's fiddliest parts; this proves

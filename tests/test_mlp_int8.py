@@ -129,3 +129,21 @@ def test_tower_with_int8_mlp_close_to_default(cfg, tower_cls, img_name):
     cos = (e_q * e_ref).sum(-1) / (
         np.linalg.norm(e_q, axis=-1) * np.linalg.norm(e_ref, axis=-1))
     assert cos.min() > 0.98, cos
+
+
+def test_non_sublane_aligned_rows():
+    """M not a multiple of 32 goes through the internal row-padding path
+    (a non-sublane-aligned ragged last block faults Mosaic's masked int8
+    path on hardware — reproducible TPU-worker crash at M=36*257; the
+    kernel now pads M up to a 32-multiple and slices the pad back off).
+    Interpret mode can't reproduce the fault, but pins the padded path's
+    shapes and numerics."""
+    rng = np.random.default_rng(7)
+    D, F = 64, 256
+    for m in (36, 9252 % 128, 1, 33):  # 36*257 % 32 == 4-style raggeds
+        x = jnp.asarray(rng.normal(size=(m, D)), jnp.bfloat16)
+        w1, b1, w2, b2 = _rand_mlp(rng, D, F)
+        out = mlp_int8(x, w1, b1, w2, b2, block_m=64)
+        ref = mlp_int8_reference(x, w1, b1, w2, b2)
+        assert out.shape == (m, D)
+        _assert_matches_emulation(out, ref)
