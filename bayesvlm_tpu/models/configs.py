@@ -42,6 +42,12 @@ class VisionConfig:
     # the fc1/fc2 GEMMs. Approximate — opt-in only; calibration deltas
     # in BASELINE.md. Vision towers only (text towers are <2% of time).
     mlp_int8: bool = False
+    # W8A8 int8 QKV + out attention projections (models/linear_int8.py,
+    # fused-QKV [D, 3D] GEMM; non-causal self-attention only). MEASURED
+    # NEGATIVE on v5e (x0.82-0.94 end-to-end, BASELINE.md "int8
+    # attention projections") — tested opt-in only; use mlp_int8 for
+    # the production int8 win.
+    attn_int8: bool = False
 
     @property
     def num_patches(self) -> int:

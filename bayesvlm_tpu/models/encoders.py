@@ -293,6 +293,7 @@ def load_model(
     seed: int = 0,
     remat: bool = False,
     mlp_int8: bool = False,
+    attn_int8: bool = False,
 ) -> Tuple[ImageEncoder, TextEncoder, ProbabilisticHead]:
     """Build (image_encoder, text_encoder, similarity head) for a model name
     (ref:bayesvlm/utils.py:28-46).
@@ -301,17 +302,21 @@ def load_model(
     are randomly initialized — useful for tests/benchmarks; real runs must
     pass converted weights.
 
-    `mlp_int8`: run the vision tower's MLP sublayers through the fused
-    W8A8 int8 kernel (models/mlp_int8.py) — ~x1.19 end-to-end on ViT-L,
-    approximate (calibration deltas in BASELINE.md). Param tree is
-    unchanged, so checkpoints/converters are unaffected.
+    `mlp_int8` / `attn_int8`: run the vision tower's MLP sublayers /
+    attention projections through the fused W8A8 int8 kernels
+    (models/mlp_int8.py, models/linear_int8.py) — approximate
+    (calibration deltas in BASELINE.md), throughput numbers there too.
+    Param trees are unchanged, so checkpoints/converters are
+    unaffected.
     """
     import dataclasses as _dc
 
     config = CONFIGS_BY_NAME[model_str]
-    if mlp_int8:
+    if mlp_int8 or attn_int8:
         config = _dc.replace(
-            config, vision=_dc.replace(config.vision, mlp_int8=True)
+            config, vision=_dc.replace(
+                config.vision, mlp_int8=mlp_int8, attn_int8=attn_int8
+            )
         )
     vision, text = _make_towers(config, dtype, remat)
 

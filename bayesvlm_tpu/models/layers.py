@@ -98,6 +98,12 @@ class MultiHeadAttention(nn.Module):
     # in one VMEM-resident program (weights pinned across the grid);
     # implies use_pallas semantics. Non-causal self-attention only.
     use_pallas_block: bool = False
+    # W8A8 int8 QKV + out projections (models/linear_int8.py): the three
+    # QKV weights are concatenated to [D, 3D] so input rows quantize
+    # once. Opt-in, approximate; non-causal self-attention only (falls
+    # back to the bf16 denses elsewhere). Calibration deltas in
+    # BASELINE.md.
+    use_int8_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -138,15 +144,34 @@ class MultiHeadAttention(nn.Module):
                 ln_eps=ln_eps,
             )
 
-        q = dense("q_proj")(queries)
-        k = dense("k_proj")(keys_values)
-        v = dense("v_proj")(keys_values)
+        int8_proj = self.use_int8_proj and mask is None and self_attention
+        if int8_proj:
+            # W8A8 projections (works with both the Pallas and einsum
+            # attention cores): QKV weights concatenated so input rows
+            # quantize once; out-proj quantized separately below
+            from bayesvlm_tpu.models.linear_int8 import linear_int8
+
+            D_in = queries.shape[-1]
+            ws = [
+                _DenseParams(self.hidden_size, D_in, name=n)()
+                for n in ("q_proj", "k_proj", "v_proj", "out_proj")
+            ]
+            w_qkv = jnp.concatenate([w for w, _ in ws[:3]], axis=1)
+            b_qkv = jnp.concatenate([b for _, b in ws[:3]])
+            qkv = linear_int8(queries, w_qkv, b_qkv)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out_proj = lambda o: linear_int8(o, ws[3][0], ws[3][1])
+        else:
+            q = dense("q_proj")(queries)
+            k = dense("k_proj")(keys_values)
+            v = dense("v_proj")(keys_values)
+            out_proj = dense("out_proj")
 
         if self.use_pallas and mask is None:
             from bayesvlm_tpu.models.attention_pallas import fused_attention
 
             out = fused_attention(q, k, v, self.num_heads)
-            return dense("out_proj")(out)
+            return out_proj(out)
 
         B, Tq, _ = q.shape
         Tk = k.shape[1]
@@ -170,7 +195,7 @@ class MultiHeadAttention(nn.Module):
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, Tq, self.hidden_size)
-        return dense("out_proj")(out)
+        return out_proj(out)
 
 
 class MLP(nn.Module):
@@ -232,6 +257,7 @@ class TransformerBlock(nn.Module):
     attn_pallas: bool = False
     attn_pallas_block: bool = False
     mlp_int8: bool = False
+    attn_int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -255,6 +281,7 @@ class TransformerBlock(nn.Module):
                 softmax_fp32=self.softmax_fp32,
                 use_pallas=self.attn_pallas,
                 use_pallas_block=self.attn_pallas_block,
+                use_int8_proj=self.attn_int8,
                 name="self_attn",
             )(h, mask=mask)
         h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
@@ -282,6 +309,7 @@ class _ScanBlock(nn.Module):
     attn_pallas: bool = False
     attn_pallas_block: bool = False
     mlp_int8: bool = False
+    attn_int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array]):
@@ -296,6 +324,7 @@ class _ScanBlock(nn.Module):
             attn_pallas=self.attn_pallas,
             attn_pallas_block=self.attn_pallas_block,
             mlp_int8=self.mlp_int8,
+            attn_int8=self.attn_int8,
             name="block",
         )(x, mask)
         return x, None
@@ -324,6 +353,7 @@ class TransformerEncoder(nn.Module):
     attn_pallas: bool = False
     attn_pallas_block: bool = False
     mlp_int8: bool = False
+    attn_int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -352,6 +382,7 @@ class TransformerEncoder(nn.Module):
             attn_pallas=self.attn_pallas,
             attn_pallas_block=self.attn_pallas_block,
             mlp_int8=self.mlp_int8,
+            attn_int8=self.attn_int8,
             name="layers",
         )
         x, _ = scanned(x, mask)

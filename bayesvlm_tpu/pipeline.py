@@ -55,6 +55,7 @@ class ProbabilisticVLM:
         prior_lr: float = 1e-2,
         prior_num_steps: int = 1000,
         mlp_int8: bool = False,
+        attn_int8: bool = False,
     ) -> "ProbabilisticVLM":
         """Load towers + K-FAC posterior and finalize covariances — the
         Stage-2 preamble (ref:scripts/zeroshot.py:54-94) as one call."""
@@ -72,7 +73,7 @@ class ProbabilisticVLM:
         jdtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[dtype]
         image_encoder, text_encoder, head = load_model(
             model_str, weights_dir=weights_dir, dtype=jdtype,
-            mlp_int8=mlp_int8,
+            mlp_int8=mlp_int8, attn_int8=attn_int8,
         )
         mesh = resolve_auto_mesh(mesh)
         if mesh is not None:

@@ -33,6 +33,7 @@ def main(
     dtype: str = "bf16",
     use_mesh: bool = True,
     mlp_int8: bool = False,
+    attn_int8: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -72,7 +73,8 @@ def main(
 
     jdtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[dtype]
     image_encoder, text_encoder, head = load_model(
-        model_str, weights_dir=weights_dir, dtype=jdtype, mlp_int8=mlp_int8
+        model_str, weights_dir=weights_dir, dtype=jdtype,
+        mlp_int8=mlp_int8, attn_int8=attn_int8,
     )
     import jax
 
@@ -170,6 +172,8 @@ if __name__ == "__main__":
     # approximate — calibration deltas in BASELINE.md). Default off for
     # reference parity.
     parser.add_argument("--mlp_int8", action="store_true")
+    # measured NEGATIVE on v5e (BASELINE.md) — tested opt-in only
+    parser.add_argument("--attn_int8", action="store_true")
     args = parser.parse_args()
 
     if getattr(args, "device", None):
@@ -189,4 +193,5 @@ if __name__ == "__main__":
         dtype=args.dtype,
         use_mesh=not args.no_mesh,
         mlp_int8=args.mlp_int8,
+        attn_int8=args.attn_int8,
     )

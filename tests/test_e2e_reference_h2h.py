@@ -332,6 +332,39 @@ def test_full_pipeline_h2h_mlp_int8_calibration_delta(h2h):
     assert ece == pytest.approx(ref_ece, abs=0.08)
 
 
+def test_full_pipeline_h2h_full_int8_calibration_delta(h2h):
+    """The full int8 serving mode (--mlp_int8 --attn_int8: W8A8 MLP +
+    QKV/out projections) against the fp32 torch reference — the
+    combined quantization calibration cost, measured end-to-end."""
+    tmp, weights_dir, hessian_dir, hf_vis, hf_txt = h2h
+
+    ref_info, (ref_acc, ref_nlpd, ref_ece), _ = _run_reference(
+        hessian_dir, hf_vis, hf_txt
+    )
+
+    import zeroshot as zs
+
+    acc, nlpd, ece = zs.main(
+        dataset="synthetic",
+        hessian_dir=str(hessian_dir),
+        model_str="tiny-clip",
+        pseudo_data_count=10,
+        batch_size=32,
+        num_workers=2,
+        weights_dir=str(weights_dir),
+        dtype="bf16",
+        mlp_int8=True,
+        attn_int8=True,
+    )
+    print(
+        f"full-int8 vs fp32-reference deltas: dACC={acc - ref_acc:+.4f} "
+        f"dNLPD={nlpd - ref_nlpd:+.5f} dECE={ece - ref_ece:+.5f}"
+    )
+    assert acc == pytest.approx(ref_acc, abs=0.08)
+    assert nlpd == pytest.approx(ref_nlpd, abs=0.08)
+    assert ece == pytest.approx(ref_ece, abs=0.08)
+
+
 # ---------------------------------------------------------------------------
 # SigLIP family: same full-pipeline H2H (the head-surgery fc1/fc2 split and
 # bias-column conventions are the reference's fiddliest parts; this proves
