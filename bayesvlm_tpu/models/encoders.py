@@ -63,7 +63,13 @@ class _EncoderBase:
         params = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, NamedSharding(mesh, P())), self.params
         )
-        return dataclasses.replace(self, mesh=mesh, params=params)
+        extra = {}
+        if getattr(self, "quant_vars", None) is not None:
+            extra["quant_vars"] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                self.quant_vars,
+            )
+        return dataclasses.replace(self, mesh=mesh, params=params, **extra)
 
     def _shard_batch(self, x):
         """Batch-shard x over the mesh; pads uneven batches (caller slices
@@ -170,11 +176,15 @@ class _EncoderBase:
 class ImageEncoder(_EncoderBase):
     """Vision tower wrapper. Call with NHWC float images."""
 
+    # prequantized W8A8 weight cache ("int8" variables collection,
+    # stacked per-layer like params) — see prequantize_int8()
+    quant_vars: Any = None
+
     def __post_init__(self):
         family = self.config.family
 
         @jax.jit
-        def fwd(params, pixels):
+        def fwd(params, quant, pixels):
             if pixels.dtype == jnp.uint8:
                 # uint8 ingest lane: /255 + mean/std normalize in-graph
                 # (XLA fuses it into the patch conv); the host ships raw
@@ -186,7 +196,10 @@ class ImageEncoder(_EncoderBase):
                 x = pixels.astype(jnp.float32) / 255.0
                 pixels = (x - jnp.asarray(mean, jnp.float32)) \
                     / jnp.asarray(std, jnp.float32)
-            out = self.module.apply({"params": params}, pixels)
+            cols = {"params": params}
+            if quant is not None:
+                cols["int8"] = quant
+            out = self.module.apply(cols, pixels)
             if family == "siglip":
                 embeds, activations, residuals = out
                 return EncoderResult(embeds=embeds, activations=activations, residuals=residuals)
@@ -199,8 +212,34 @@ class ImageEncoder(_EncoderBase):
         if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
             images = jnp.transpose(images, (0, 2, 3, 1))  # NCHW -> NHWC
         xs, orig = self._shard_batch(jnp.asarray(images))
-        res = self._fwd(self.params, xs)
+        res = self._fwd(self.params, self.quant_vars, xs)
         return res if orig is None else res[:orig]
+
+    def prequantize_int8(self) -> "ImageEncoder":
+        """Precompute the W8A8 weight cache so int8 forwards skip the
+        per-call weight quantization (measured 1.06 ms/call for all
+        ViT-L MLPs — ~25% of a B=1 serving forward; BASELINE.md "int8
+        prequantization"). No-op unless the tower has an int8 path
+        enabled (mlp_int8). Projection updates (with_projection) keep
+        the cache valid — the Laplace projection is outside the MLP
+        sublayers — but a full params swap should re-run this."""
+        vcfg = self.config.vision
+        if not getattr(vcfg, "mlp_int8", False):
+            return self
+        dummy = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3),
+                          jnp.float32)
+        _, variables = self.module.apply(
+            {"params": self.params}, dummy, mutable=["int8"]
+        )
+        quant = variables.get("int8")
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            quant = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, P())), quant
+            )
+        return dataclasses.replace(self, quant_vars=quant)
 
 
 @dataclasses.dataclass

@@ -210,13 +210,25 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.use_int8:
-            from bayesvlm_tpu.models.mlp_int8 import mlp_int8
+            from bayesvlm_tpu.models.mlp_int8 import (
+                mlp_int8,
+                quantize_mlp_weights,
+            )
 
             w1, b1 = _DenseParams(self.mlp_dim, self.hidden_size,
                                   name="fc1")()
             w2, b2 = _DenseParams(self.hidden_size, self.mlp_dim,
                                   name="fc2")()
-            return mlp_int8(x, w1, b1, w2, b2, act_name=self.hidden_act)
+            # prequantized weight cache: apply(..., mutable=["int8"])
+            # fills the collection once; passing it back as a variables
+            # collection skips the per-call weight quantize (~1 ms/call
+            # at ViT-L — ImageEncoder.prequantize_int8)
+            if self.is_mutable_collection("int8"):
+                self.put_variable("int8", "mlp", quantize_mlp_weights(w1, w2))
+            quant = (self.get_variable("int8", "mlp")
+                     if self.has_variable("int8", "mlp") else None)
+            return mlp_int8(x, w1, b1, w2, b2, act_name=self.hidden_act,
+                            quant=quant)
         act_name = self.hidden_act
         # erf-GELU is VPU-transcendental-bound on TPU (~14% of a ViT-L
         # forward); the tanh approximation's error (~1e-3 relative) is
@@ -366,7 +378,9 @@ class TransformerEncoder(nn.Module):
             )
         scanned = nn.scan(
             block_cls,
-            variable_axes={"params": 0},
+            # "int8": per-layer prequantized W8A8 weight cache (stacked
+            # [L, ...] like params; absent unless prequantize_int8 ran)
+            variable_axes={"params": 0, "int8": 0},
             split_rngs={"params": True},
             length=self.num_layers,
             in_axes=nn.broadcast,

@@ -105,13 +105,24 @@ def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o_ref[:] = of.astype(o_ref.dtype)
 
 
+def quantize_mlp_weights(w1: jax.Array, w2: jax.Array) -> dict:
+    """Precompute the W8A8 weight cache for one MLP sublayer — pass as
+    `mlp_int8(..., quant=...)` to skip the per-call weight quantization
+    (~1.06 ms/call for all 24 ViT-L MLPs on chip; ~25% of a B=1 serving
+    forward, BASELINE.md "int8 prequantization")."""
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    return {"w1q": w1q, "s1": s1, "w2q": w2q, "s2": s2}
+
+
 @functools.partial(jax.jit, static_argnames=("act_name", "block_m"))
 def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
              b2: jax.Array, act_name: str = "gelu_tanh",
-             block_m: int = 512) -> jax.Array:
+             block_m: int = 512, quant: dict | None = None) -> jax.Array:
     """W8A8 MLP sublayer: x [..., D] -> fc2(act(fc1(x))) [..., D].
 
-    w1 [D, F], b1 [F], w2 [F, D], b2 [D] in fp32/bf16 (quantized here);
+    w1 [D, F], b1 [F], w2 [F, D], b2 [D] in fp32/bf16 (quantized here,
+    or taken prequantized from `quant` — see quantize_mlp_weights);
     output dtype matches x. Rows are independent, so any leading shape
     flattens to the kernel's [M, D] row grid; ragged last blocks are
     masked by Pallas (padded rows never reach the output).
@@ -137,8 +148,12 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     Mp = xm.shape[0]
     tm = min(block_m, Mp)
 
-    w1q, s1 = quantize_weight(w1)
-    w2q, s2 = quantize_weight(w2)
+    if quant is None:
+        w1q, s1 = quantize_weight(w1)
+        w2q, s2 = quantize_weight(w2)
+    else:
+        w1q, s1, w2q, s2 = (quant["w1q"], quant["s1"],
+                            quant["w2q"], quant["s2"])
     b1f = b1.astype(jnp.float32).reshape(1, F)
     b2f = b2.astype(jnp.float32).reshape(1, D)
 

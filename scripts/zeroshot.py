@@ -85,6 +85,7 @@ def main(
         mesh = default_mesh()
         image_encoder = image_encoder.with_mesh(mesh)
         print(f"[mesh] batch-sharded inference over {mesh.shape}")
+    image_encoder = image_encoder.prequantize_int8()  # no-op unless mlp_int8
     if tokenizer_dir is not None:
         text_encoder.tokenizer = HFTokenizer.from_local(tokenizer_dir, config.text.max_length)
     elif text_encoder.tokenizer is None:

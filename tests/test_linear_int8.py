@@ -119,3 +119,30 @@ def test_causal_text_path_unaffected():
     params = mod.init(jax.random.key(0), ids)["params"]
     out = mod.apply({"params": params}, ids)
     assert np.isfinite(np.asarray(out[0], np.float32)).all()
+
+
+def test_int8_tower_under_gspmd_batch_sharding():
+    """Multi-chip composition for the int8 paths: a batch-sharded GSPMD
+    jit of the full-int8 tower (mlp_int8 + attn_int8) must match the
+    unsharded forward exactly — per-row activation quantization is
+    row-local, so sharding cannot change the math (mirrors the
+    pallas-attention GSPMD test)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bayesvlm_tpu.dist.mesh import make_mesh
+
+    mod, vcfg = _tiny_tower(True, mlp_int8=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.normal(size=(16, vcfg.image_size, vcfg.image_size, 3)),
+        jnp.float32)
+    params = mod.init(jax.random.key(0), x)["params"]
+    ref = mod.apply({"params": params}, x)[0]
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("data",))
+    xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda p, xs: mod.apply({"params": p}, xs)[0],
+                out_shardings=NamedSharding(mesh, P()))
+    out = f(params, xd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

@@ -147,3 +147,47 @@ def test_non_sublane_aligned_rows():
         ref = mlp_int8_reference(x, w1, b1, w2, b2)
         assert out.shape == (m, D)
         _assert_matches_emulation(out, ref)
+
+
+def test_prequantized_weights_match_per_call():
+    """quantize_mlp_weights + mlp_int8(quant=...) must be bit-identical
+    to the per-call quantize path (same math, just hoisted)."""
+    from bayesvlm_tpu.models.mlp_int8 import quantize_mlp_weights
+
+    rng = np.random.default_rng(11)
+    D, F = 64, 256
+    x = jnp.asarray(rng.normal(size=(40, D)), jnp.bfloat16)
+    w1, b1, w2, b2 = _rand_mlp(rng, D, F)
+    base = np.asarray(mlp_int8(x, w1, b1, w2, b2), np.float32)
+    quant = quantize_mlp_weights(w1, w2)
+    pre = np.asarray(mlp_int8(x, w1, b1, w2, b2, quant=quant), np.float32)
+    np.testing.assert_array_equal(base, pre)
+
+
+def test_encoder_prequantize_int8_matches():
+    """ImageEncoder.prequantize_int8 precomputes the stacked per-layer
+    'int8' collection through the scan (variable_axes={'int8': 0}) and
+    the forward stays bit-identical; without mlp_int8 it is a no-op."""
+    import dataclasses as dc
+
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+    from bayesvlm_tpu.models.encoders import load_model
+
+    img, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0)
+    assert img.prequantize_int8() is img  # no int8 path -> no-op
+
+    img8, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0,
+                            mlp_int8=True)
+    x = jnp.asarray(
+        np.random.default_rng(12).normal(
+            size=(3, img8.config.vision.image_size,
+                  img8.config.vision.image_size, 3)), jnp.float32)
+    base = img8(x)
+    pre_enc = img8.prequantize_int8()
+    assert pre_enc.quant_vars is not None
+    L = img8.config.vision.num_layers
+    leaf = jax.tree_util.tree_leaves(pre_enc.quant_vars)[0]
+    assert leaf.shape[0] == L  # stacked per-layer like params
+    pre = pre_enc(x)
+    np.testing.assert_array_equal(np.asarray(base.embeds),
+                                  np.asarray(pre.embeds))
