@@ -74,17 +74,72 @@ def _xlogy_rowsum_kernel(bt_ref, a_ref, o_ref, acc_ref, *, inv_k: float,
         o_ref[...] = acc_ref[:, sl]
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def _xlogy_rowsum_kernel_int8(bt_ref, bts_ref, a_ref, as_ref, o_ref,
+                              acc_ref, *, inv_k: float, nj: int, bm: int):
+    # int8 variant: the score tile accumulates on the double-rate int8
+    # MXU path (int32, exact); dequant is a rank-1 outer-product scale
+    # in the epilogue (per-row absmax scales computed by the caller).
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    s32 = jax.lax.dot_general(
+        bt_ref[...], a_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                             # [bn, bm] int32 exact
+    s = s32.astype(jnp.float32) * bts_ref[...] * as_ref[...] * inv_k
+    xlogy = jnp.where(s > 0, s * jnp.log(s), 0.0)
+    part = jnp.sum(xlogy, axis=0, keepdims=True)  # [1, bm]
+
+    sl = pl.ds(i * bm, bm)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:, sl] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[:, sl] += part
+
+    @pl.when(j == nj - 1)
+    def _write():
+        o_ref[...] = acc_ref[:, sl]
+
+
+def _quant_rows_i8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row absmax int8 for probability rows: [R, K] fp32 ->
+    (int8 [R, K], fp32 scale [R, 1]) with x ~= q * scale. Zero rows
+    (padding) get the _EPS-clamped scale and stay exactly zero."""
+    r = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12)
+    scale = r * (1.0 / 127.0)
+    q = jnp.round(x * (127.0 / r)).astype(jnp.int8)
+    return q, scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "interpret", "use_int8"))
 def joint_xlogy_rowsums(
     pool_flat: jax.Array,    # [M, K] bf16 probs (pool, classes flattened)
     targ_flat: jax.Array,    # [N, K] bf16 probs (targets, classes flattened)
     num_samples: int,
     interpret: bool = False,
+    use_int8: bool = False,
 ) -> jax.Array:
     """sum_n xlogy(pool_flat @ targ_flat^T / K)[n, m] -> [M] fp32.
 
     The caller turns this into the joint entropy via
     ``-(rowsums.reshape(N_p, C).sum(1)) / N_t``.
+
+    `use_int8`: score tiles on the double-rate int8 MXU path (W8A8,
+    per-row absmax scales, exact int32 accumulation). MEASURED DOUBLE
+    NEGATIVE at the reference operating point (BASELINE.md "int8
+    EPIG"): SLOWER (58.1 vs 46.7 ms — the quantize pass costs more
+    than the double-rate MXU saves, and the xlogy VPU work bounds the
+    kernel) AND ranking-destroying (EPIG = small difference of large
+    entropies; int8's ~1.4e-3 score error vs the ~0.012 score scale
+    gives 5% top-50 overlap). Kept ONLY as an internal tested variant
+    for reproducibility (scripts/dev/bench_epig_int8.py); deliberately
+    NOT exposed in any driver or CLI.
     """
     M, K = pool_flat.shape
     N, _ = targ_flat.shape
@@ -104,6 +159,48 @@ def joint_xlogy_rowsums(
         targ_flat.astype(jnp.bfloat16))
 
     ni, nj = m_pad // bm, n_pad // bn
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * n_pad * k_pad,
+        bytes_accessed=(nj * m_pad * k_pad * 2 + n_pad * k_pad * 2
+                        + m_pad * 4),
+        transcendentals=m_pad * n_pad,
+    )
+    # j (targ blocks) accumulates into the scratch -> arbitrary;
+    # pool blocks i are independent -> parallel
+    comp = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "parallel"),
+    )
+    out_spec = pl.BlockSpec((1, bm), lambda j, i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    if use_int8:
+        aq, as_ = _quant_rows_i8(a.astype(jnp.float32))
+        btq, bts = _quant_rows_i8(bt.astype(jnp.float32))
+        as_T = as_.reshape(1, m_pad)          # lane-aligned for the tile
+        out = pl.pallas_call(
+            functools.partial(
+                _xlogy_rowsum_kernel_int8, inv_k=1.0 / num_samples,
+                nj=nj, bm=bm),
+            grid=(nj, ni),
+            in_specs=[
+                pl.BlockSpec((bn, k_pad), lambda j, i: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, 1), lambda j, i: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, k_pad), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm), lambda j, i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, m_pad), jnp.float32)],
+            cost_estimate=cost,
+            compiler_params=comp,
+            interpret=interpret,
+        )(btq, bts, aq, as_T)
+        return out[0, :M]
+
     out = pl.pallas_call(
         functools.partial(
             _xlogy_rowsum_kernel, inv_k=1.0 / num_samples, nj=nj, bm=bm),
@@ -114,21 +211,11 @@ def joint_xlogy_rowsums(
             pl.BlockSpec((bm, k_pad), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bm), lambda j, i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, m_pad), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * k_pad,
-            bytes_accessed=(nj * m_pad * k_pad * 2 + n_pad * k_pad * 2
-                            + m_pad * 4),
-            transcendentals=m_pad * n_pad,
-        ),
-        # j (targ blocks) accumulates into the scratch -> arbitrary;
-        # pool blocks i are independent -> parallel
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel"),
-        ),
+        cost_estimate=cost,
+        compiler_params=comp,
         interpret=interpret,
     )(bt, a)
     return out[0, :M]
@@ -147,9 +234,12 @@ def epig_from_probs_pallas(
     probs_pool: jax.Array,   # [N_p, K, C]
     probs_targ: jax.Array,   # [N_t, K, C]
     interpret: bool = False,
+    use_int8: bool = False,
 ) -> jax.Array:
     """Drop-in fused equivalent of
-    ``epig.epig_from_probs_using_matmul`` (same bf16/fp32 contract).
+    ``epig.epig_from_probs_using_matmul`` (same bf16/fp32 contract;
+    `use_int8` is an internal measured-negative variant — see
+    joint_xlogy_rowsums, do not expose in drivers).
 
     One fp32 relayout per operand feeds both the marginal entropies and
     the kernel (the XLA path pays the [N, K, C] middle-axis reduction AND
@@ -166,6 +256,7 @@ def epig_from_probs_pallas(
     entropy_targ = jnp.mean(_marginal_entropy_flat(targ_flat, N_t, C))
 
     rowsums = joint_xlogy_rowsums(
-        pool_flat, targ_flat, num_samples=K, interpret=interpret)
+        pool_flat, targ_flat, num_samples=K, interpret=interpret,
+        use_int8=use_int8)
     entropy_joint = -jnp.sum(rowsums.reshape(N_p, C), axis=1) / N_t
     return entropy_pool + entropy_targ - entropy_joint

@@ -110,3 +110,55 @@ def test_public_entry_auto_select_runs_on_cpu():
     )
     assert jax.default_backend() == "cpu"
     np.testing.assert_array_equal(auto, xla)
+
+
+@pytest.mark.parametrize("n_p,n_t,c,k", [(12, 7, 5, 9), (33, 17, 3, 16)])
+def test_epig_pallas_int8_close_to_fp32(n_p, n_t, c, k):
+    """The opt-in int8 joint-score path (per-row absmax W8A8, int32
+    accumulation) must track the XLA-path scores within the documented
+    error band and preserve the top-1 ranking on these fixtures."""
+    rng = np.random.default_rng(7)
+    probs_pool = _probs(rng, n_p, k, c)
+    probs_targ = _probs(rng, n_t, k, c)
+
+    ref = np.asarray(
+        epig_from_probs_using_matmul(probs_pool, probs_targ,
+                                     use_pallas=False)
+    )
+    got = np.asarray(
+        epig_from_probs_pallas(probs_pool, probs_targ, interpret=True,
+                               use_int8=True)
+    )
+    assert got.shape == ref.shape
+    # int8 error lands relative to the ENTROPY scale (EPIG is a small
+    # difference of large entropies; the bf16 path commits the same
+    # operand truncation as the XLA reference so its error vs ref is
+    # ~1e-6, but int8's absmax steps add genuinely new error). Measured
+    # 4.3e-3 max on these fixtures vs entropy scale ~log(C); pin at
+    # 1e-2 absolute. Operating-point quality numbers (K=100, C=65,
+    # where sqrt(K) averaging shrinks this) live in BASELINE.md.
+    assert np.abs(got - ref).max() <= 1e-2
+    # ranking is what EPIG consumes: top-1 must agree on these fixtures
+    assert int(np.argmax(got)) == int(np.argmax(ref))
+
+
+def test_rowsums_int8_padding_is_transparent():
+    """Zero-padding rows/cols must contribute nothing through the int8
+    quantize (zero rows quantize to exact zeros with a clamped scale)."""
+    rng = np.random.default_rng(8)
+    M, N, K = 50, 30, 12
+    pool = jnp.asarray(rng.uniform(0.01, 1.0, size=(M, K)), jnp.float32)
+    targ = jnp.asarray(rng.uniform(0.01, 1.0, size=(N, K)), jnp.float32)
+    a = np.asarray(joint_xlogy_rowsums(pool, targ, num_samples=K,
+                                       interpret=True, use_int8=True))
+    # same computation by hand from the quantized operands
+    def q(x):
+        r = np.maximum(np.abs(np.asarray(x)).max(1, keepdims=True), 1e-12)
+        return np.round(np.asarray(x) * 127.0 / r).astype(np.int32), r / 127.0
+    pq, ps = q(pool.astype(jnp.bfloat16).astype(jnp.float32))
+    tq, ts = q(targ.astype(jnp.bfloat16).astype(jnp.float32))
+    s = (tq @ pq.T).astype(np.float32) * ts * ps.T / K
+    ref = np.where(s > 0, s * np.log(s), 0.0).sum(0)
+    # fp32 xlogy + reduction-order differences between the kernel and
+    # the numpy re-derivation: ~4e-4 relative on these sums
+    np.testing.assert_allclose(a, ref, rtol=1e-3, atol=1e-3)
