@@ -44,6 +44,7 @@ def setup_context(
     precompute_num_workers: int,
     weights_dir=None,
     tokenizer_dir=None,
+    mlp_int8: bool = False,
 ) -> ALContext:
     from bayesvlm_tpu.bayes.kfac import compute_covariances
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
@@ -74,7 +75,8 @@ def setup_context(
     ).create(dataset)
     dm.setup()
 
-    image_encoder, text_encoder, head = load_model(model_str, weights_dir=weights_dir)
+    image_encoder, text_encoder, head = load_model(
+        model_str, weights_dir=weights_dir, mlp_int8=mlp_int8)
     import jax
 
     if len(jax.devices()) > 1:
@@ -83,6 +85,7 @@ def setup_context(
         from bayesvlm_tpu.dist.mesh import default_mesh
 
         image_encoder = image_encoder.with_mesh(default_mesh())
+    image_encoder = image_encoder.prequantize_int8()  # no-op unless mlp_int8
     if tokenizer_dir is not None:
         text_encoder.tokenizer = HFTokenizer.from_local(
             tokenizer_dir, config.text.max_length

@@ -71,6 +71,7 @@ def main(
     knn_method: str = "wasserstein",
     weights_dir=None,
     tokenizer_dir=None,
+    mlp_int8: bool = False,
     epig_pool_max_size: int = 40_000,
     epig_target_max_size: int = 20_000,
 ):
@@ -83,6 +84,7 @@ def main(
     ctx = setup_context(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
         precompute_batch_size, precompute_num_workers, weights_dir, tokenizer_dir,
+        mlp_int8=mlp_int8,
     )
     dm = ctx.dm
     image_encoder = ctx.image_encoder
@@ -263,6 +265,9 @@ if __name__ == "__main__":
     parser.add_argument("--device", type=str, default="tpu")  # CLI parity
     parser.add_argument("--weights_dir", type=str, default=None)
     parser.add_argument("--tokenizer_dir", type=str, default=None)
+    parser.add_argument(
+        "--mlp_int8", action="store_true",
+        help="W8A8 int8 vision-tower MLPs for feature precompute (~x1.2; calibration deltas in BASELINE.md). Off = parity default")
     # TPU-repo extras: EPIG sizing knobs (main() kwargs in the reference)
     parser.add_argument(
         "--epig_num_samples", type=int, default=100,
@@ -306,4 +311,5 @@ if __name__ == "__main__":
         knn_method=args.knn_method,
         weights_dir=args.weights_dir,
         tokenizer_dir=args.tokenizer_dir,
+        mlp_int8=args.mlp_int8,
     )

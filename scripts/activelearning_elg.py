@@ -49,6 +49,7 @@ def main(
     only_egl: bool = False,
     weights_dir=None,
     tokenizer_dir=None,
+    mlp_int8: bool = False,
 ):
     from bayesvlm_tpu.inference.predictions import make_predictions
     from bayesvlm_tpu.select.egl import select_egl
@@ -89,6 +90,7 @@ def main(
     ctx = setup_context(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
         precompute_batch_size, precompute_num_workers, weights_dir, tokenizer_dir,
+        mlp_int8=mlp_int8,
     )
     if knn_method not in ("cosine", "wasserstein"):
         raise ValueError(
@@ -272,6 +274,9 @@ if __name__ == "__main__":
     parser.add_argument("--only_egl", action="store_true")
     parser.add_argument("--weights_dir", type=str, default=None)
     parser.add_argument("--tokenizer_dir", type=str, default=None)
+    parser.add_argument(
+        "--mlp_int8", action="store_true",
+        help="W8A8 int8 vision-tower MLPs for feature precompute (~x1.2; calibration deltas in BASELINE.md). Off = parity default")
     parser.add_argument("--device", type=str, default="tpu")  # CLI parity
     args = parser.parse_args()
 
@@ -302,4 +307,5 @@ if __name__ == "__main__":
         without_epig=args.without_epig,
         only_egl=args.only_egl,
         weights_dir=args.weights_dir, tokenizer_dir=args.tokenizer_dir,
+        mlp_int8=args.mlp_int8,
     )

@@ -49,6 +49,7 @@ def main(
     ggn_precision: str = "highest",
     dist_global_batch: bool = False,
     u8_pipeline: bool = False,
+    mlp_int8: bool = False,
 ):
     from bayesvlm_tpu.bayes.estimation import kfac_ggn
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
@@ -80,7 +81,9 @@ def main(
     else:
         transform = get_transform(config.family, get_image_size(model_str))
 
-    image_encoder, text_encoder, head = load_model(model_str, weights_dir=weights_dir)
+    image_encoder, text_encoder, head = load_model(
+        model_str, weights_dir=weights_dir, mlp_int8=mlp_int8)
+    image_encoder = image_encoder.prequantize_int8()  # no-op unless mlp_int8
     if tokenizer_dir is not None:
         text_encoder.tokenizer = HFTokenizer.from_local(
             tokenizer_dir, config.text.max_length
@@ -284,6 +287,11 @@ if __name__ == "__main__":
         help="GGN matmul precision: 'highest'=fp32 (parity default); "
         "'high'=bf16x3 (1.6x faster, 1.7e-5 max rel err vs fp64)")
     parser.add_argument(
+        "--mlp_int8", action="store_true",
+        help="W8A8 int8 vision-tower MLPs for the feature pass "
+        "(~x1.2 img/s; GGN math stays fp32 — factor parity tested at "
+        "rtol 5e-3, BASELINE.md). Approximate; off = parity default")
+    parser.add_argument(
         "--native_decode", action="store_true",
         help="opt into the native C++ batched JPEG decode lane (bilinear "
         "resampling vs the default PIL bicubic; delta in BASELINE.md)")
@@ -323,4 +331,5 @@ if __name__ == "__main__":
         ggn_precision=args.ggn_precision,
         dist_global_batch=args.dist_global_batch,
         u8_pipeline=args.u8_pipeline,
+        mlp_int8=args.mlp_int8,
     )

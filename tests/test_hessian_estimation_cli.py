@@ -136,3 +136,51 @@ def test_cli_sharded_equals_unsharded_factors(tmp_path, monkeypatch):
     info_b = _json.loads((tmp_path / "plain" / "prior_precision_analytic.json").read_text())
     assert info_a["lambda_img"] == pytest.approx(info_b["lambda_img"], rel=1e-4)
     assert info_a["lambda_txt"] == pytest.approx(info_b["lambda_txt"], rel=1e-4)
+
+
+def test_cli_mlp_int8_factor_parity(tmp_path, monkeypatch):
+    """--mlp_int8 runs the feature pass through the W8A8 MLP kernel
+    (GGN math stays fp32); the K-FAC factors and optimized lambdas must
+    stay close to the bf16 lane — the int8 embedding perturbation
+    (~1e-2 rel-L2) washes into second-moment factors at the same order
+    (mirrors the u8-lane parity contract)."""
+    import hessian_estimation as he
+
+    laion_dir = tmp_path / "data" / "laion400m"
+    laion_dir.mkdir(parents=True)
+    for s in range(2):
+        _make_laion_tar(laion_dir / f"{s:05d}.tar", s * 24, 24)
+    monkeypatch.setenv("DATA_BASE_DIR", str(tmp_path / "data"))
+
+    kwargs = dict(
+        dataset="laion400m", model_str="tiny-clip",
+        precompute_batch_size=8, la_num_classes=16, la_batch_size=4,
+        num_workers=2, num_files=2, max_datapoints=32,
+        lambda_init_txt=10.0, lambda_init_img=10.0,
+        n_init_txt=1.0, n_init_img=1.0, lr=1e-2, num_steps=30,
+        use_mesh=False,
+    )
+    he.main(hessian_dir=str(tmp_path / "int8"), mlp_int8=True, **kwargs)
+    he.main(hessian_dir=str(tmp_path / "base"), **kwargs)
+
+    from bayesvlm_tpu.io.torch_compat import load_pt_array
+
+    # A_txt is the text-activation gram — the ONLY factor with no image
+    # dependence (text towers have no int8 path), so it must be exact;
+    # B_txt contracts against image embeddings as InfoNCE targets and
+    # absorbs the perturbation like the image factors do
+    a = np.asarray(load_pt_array(tmp_path / "int8" / "A_txt_analytic.pt"))
+    b = np.asarray(load_pt_array(tmp_path / "base" / "A_txt_analytic.pt"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    for f in ("A_img", "B_img", "B_txt"):
+        a = np.asarray(load_pt_array(tmp_path / "int8" / f"{f}_analytic.pt"))
+        b = np.asarray(load_pt_array(tmp_path / "base" / f"{f}_analytic.pt"))
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() <= 5e-2 * scale
+
+    import json as _json
+
+    info_a = _json.loads((tmp_path / "int8" / "prior_precision_analytic.json").read_text())
+    info_b = _json.loads((tmp_path / "base" / "prior_precision_analytic.json").read_text())
+    assert info_a["lambda_img"] == pytest.approx(info_b["lambda_img"], rel=5e-2)
+    assert info_a["lambda_txt"] == pytest.approx(info_b["lambda_txt"], rel=5e-2)
