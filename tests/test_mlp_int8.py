@@ -168,9 +168,6 @@ def test_encoder_prequantize_int8_matches():
     """ImageEncoder.prequantize_int8 precomputes the stacked per-layer
     'int8' collection through the scan (variable_axes={'int8': 0}) and
     the forward stays bit-identical; without mlp_int8 it is a no-op."""
-    import dataclasses as dc
-
-    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
     from bayesvlm_tpu.models.encoders import load_model
 
     img, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0)
