@@ -208,7 +208,7 @@ class MLP(nn.Module):
     use_int8: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, pre_ln: Optional[tuple] = None) -> Array:
         if self.use_int8:
             from bayesvlm_tpu.models.mlp_int8 import (
                 mlp_int8,
@@ -227,8 +227,16 @@ class MLP(nn.Module):
                 self.put_variable("int8", "mlp", quantize_mlp_weights(w1, w2))
             quant = (self.get_variable("int8", "mlp")
                      if self.has_variable("int8", "mlp") else None)
+            if pre_ln is not None:
+                # whole pre-LN sublayer fused: x + fc2(act(fc1(LN(x))))
+                lns, lnb, eps = pre_ln
+                return mlp_int8(x, w1, b1, w2, b2,
+                                act_name=self.hidden_act, quant=quant,
+                                ln_scale=lns, ln_bias=lnb, ln_eps=eps)
             return mlp_int8(x, w1, b1, w2, b2, act_name=self.hidden_act,
                             quant=quant)
+        if pre_ln is not None:
+            raise ValueError("MLP(pre_ln=...) requires use_int8=True")
         act_name = self.hidden_act
         # erf-GELU is VPU-transcendental-bound on TPU (~14% of a ViT-L
         # forward); the tanh approximation's error (~1e-3 relative) is
@@ -296,6 +304,19 @@ class TransformerBlock(nn.Module):
                 use_int8_proj=self.attn_int8,
                 name="self_attn",
             )(h, mask=mask)
+        if self.mlp_int8:
+            # fused pre-LN MLP sublayer: LN2 + fc1 + GELU + fc2 + residual
+            # in one VMEM-resident kernel (param tree unchanged — _LNParams
+            # mirrors LayerNormFP32's layer_norm2/ln/{scale,bias})
+            lns, lnb = _LNParams(self.hidden_size, name="layer_norm2")()
+            return MLP(
+                hidden_size=self.hidden_size,
+                mlp_dim=self.mlp_dim,
+                hidden_act=self.hidden_act,
+                dtype=self.dtype,
+                use_int8=True,
+                name="mlp",
+            )(x, pre_ln=(lns, lnb, self.layer_norm_eps))
         h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
         x = x + MLP(
             hidden_size=self.hidden_size,

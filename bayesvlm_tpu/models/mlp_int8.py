@@ -83,11 +83,31 @@ def _quant_rows(x_f32):
     return q, scale
 
 
-def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                     o_ref, *, act_name: str):
+def _ln_rows(x_f32, gamma, beta, eps):
+    """fp32 LayerNorm over the lane axis (two-pass variance). Zero rows
+    are safe: mean=var=0 -> output beta."""
+    mu = jnp.mean(x_f32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x_f32 - mu), axis=1, keepdims=True)
+    return (x_f32 - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def _mlp_int8_kernel(x_ref, *refs, act_name: str, ln_eps: float | None):
+    """refs = ([g_ref, bln_ref,] w1, s1, b1, w2, s2, b2, o_ref).
+
+    With `ln_eps` set, the block computes the whole pre-LN MLP sublayer
+    residual-fused: o = x + fc2(act(fc1(LN(x)))) — the standalone XLA LN
+    pass and the residual-add pass (an extra ~3 reads + 2 writes of
+    [M, D] per layer) collapse into this kernel's single read/write."""
+    if ln_eps is not None:
+        g_ref, bln_ref = refs[0], refs[1]
+        refs = refs[2:]
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref = refs
     act = _ACTS[act_name]
     x = x_ref[:].astype(jnp.float32)                      # [TM, D]
-    xq, xs = _quant_rows(x)
+    if ln_eps is not None:
+        xq, xs = _quant_rows(_ln_rows(x, g_ref[0], bln_ref[0], ln_eps))
+    else:
+        xq, xs = _quant_rows(x)
     h = jax.lax.dot_general(
         xq, w1_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -102,6 +122,8 @@ def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         preferred_element_type=jnp.int32,
     )                                                     # [TM, D] int32
     of = o.astype(jnp.float32) * as_ * s2_ref[0] + b2_ref[0]
+    if ln_eps is not None:
+        of = of + x  # residual in fp32 (x is the pre-LN block input)
     o_ref[:] = of.astype(o_ref.dtype)
 
 
@@ -115,10 +137,14 @@ def quantize_mlp_weights(w1: jax.Array, w2: jax.Array) -> dict:
     return {"w1q": w1q, "s1": s1, "w2q": w2q, "s2": s2}
 
 
-@functools.partial(jax.jit, static_argnames=("act_name", "block_m"))
+@functools.partial(jax.jit,
+                   static_argnames=("act_name", "block_m", "ln_eps"))
 def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
              b2: jax.Array, act_name: str = "gelu_tanh",
-             block_m: int = 512, quant: dict | None = None) -> jax.Array:
+             block_m: int = 512, quant: dict | None = None,
+             ln_scale: jax.Array | None = None,
+             ln_bias: jax.Array | None = None,
+             ln_eps: float | None = None) -> jax.Array:
     """W8A8 MLP sublayer: x [..., D] -> fc2(act(fc1(x))) [..., D].
 
     w1 [D, F], b1 [F], w2 [F, D], b2 [D] in fp32/bf16 (quantized here,
@@ -126,6 +152,12 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     output dtype matches x. Rows are independent, so any leading shape
     flattens to the kernel's [M, D] row grid; ragged last blocks are
     masked by Pallas (padded rows never reach the output).
+
+    With ln_scale/ln_bias/ln_eps set, the kernel runs the WHOLE pre-LN
+    MLP sublayer residual-fused: x + fc2(act(fc1(LN(x)))). The fp32 LN
+    and the fp32 residual add happen in VMEM on rows the kernel already
+    holds, removing the standalone LN pass and the residual-add pass
+    (~5 extra [M, D] HBM touches per layer on the unfused path).
     """
     if act_name == "gelu":  # bf16 production substitution, as in MLP
         act_name = "gelu_tanh"
@@ -161,10 +193,17 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     row = pl.BlockSpec((tm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ln_args, ln_specs = (), []
+    if ln_eps is not None:
+        ln_args = (ln_scale.astype(jnp.float32).reshape(1, D),
+                   ln_bias.astype(jnp.float32).reshape(1, D))
+        ln_specs = [const((1, D)), const((1, D))]
     out = pl.pallas_call(
-        functools.partial(_mlp_int8_kernel, act_name=act_name),
+        functools.partial(_mlp_int8_kernel, act_name=act_name,
+                          ln_eps=ln_eps),
         grid=grid,
-        in_specs=[row, const((D, F)), const((1, F)), const((1, F)),
+        in_specs=[row, *ln_specs,
+                  const((D, F)), const((1, F)), const((1, F)),
                   const((F, D)), const((1, D)), const((1, D))],
         out_specs=row,
         out_shape=_out_struct((Mp, D), x),
@@ -181,15 +220,17 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(xm, w1q, s1, b1f, w2q, s2, b2f)
+    )(xm, *ln_args, w1q, s1, b1f, w2q, s2, b2f)
     if row_pad:
         out = out[:M]
     return out.reshape(orig_shape)
 
 
-def mlp_int8_reference(x, w1, b1, w2, b2, act_name="gelu_tanh"):
+def mlp_int8_reference(x, w1, b1, w2, b2, act_name="gelu_tanh",
+                       ln_scale=None, ln_bias=None, ln_eps=None):
     """Pure-jnp emulation of the kernel's exact math (same quantization,
-    same fp32 dequant chain) — the unit-test oracle."""
+    same fp32 dequant chain, same fused-LN/residual variant) — the
+    unit-test oracle."""
     if act_name == "gelu":
         act_name = "gelu_tanh"
     act = _ACTS[act_name]
@@ -197,11 +238,18 @@ def mlp_int8_reference(x, w1, b1, w2, b2, act_name="gelu_tanh"):
     xm = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
-    xq, xs = _quant_rows(xm)
+    if ln_eps is not None:
+        ln_in = _ln_rows(xm, ln_scale.astype(jnp.float32)[None, :],
+                         ln_bias.astype(jnp.float32)[None, :], ln_eps)
+        xq, xs = _quant_rows(ln_in)
+    else:
+        xq, xs = _quant_rows(xm)
     h = jnp.dot(xq.astype(jnp.int32), w1q.astype(jnp.int32))
     hf = h.astype(jnp.float32) * xs * s1 + b1.astype(jnp.float32)[None, :]
     a = act(hf)
     aq, as_ = _quant_rows(a)
     o = jnp.dot(aq.astype(jnp.int32), w2q.astype(jnp.int32))
     of = o.astype(jnp.float32) * as_ * s2 + b2.astype(jnp.float32)[None, :]
+    if ln_eps is not None:
+        of = of + xm
     return of.astype(x.dtype).reshape(orig_shape)

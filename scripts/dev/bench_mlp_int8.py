@@ -99,6 +99,60 @@ def bench_sublayer():
               f"Top/s")
 
 
+def bench_fused_sublayer():
+    """Whole pre-LN MLP sublayer x + fc2(act(fc1(LN(x)))): the fused-LN
+    kernel vs (XLA fp32 LN -> unfused kernel -> residual add). Gain =
+    the ~5 [M, D] HBM touches the fusion removes."""
+    B, T, D, F = 80, 257, 1024, 4096
+    M = B * T
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(0, 0.02, size=(D, F)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.01, size=(F,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.02, size=(F, D)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.01, size=(D,)), jnp.float32)
+    g = jnp.asarray(rng.normal(1, 0.1, size=(D,)), jnp.float32)
+    bt = jnp.asarray(rng.normal(0, 0.1, size=(D,)), jnp.float32)
+    flops = 4 * M * D * F
+
+    def unfused_builder(n):
+        @jax.jit
+        def loop(x, w1, b1, w2, b2):
+            def body(i, carry):
+                xx = x + (carry * 1e-20).astype(x.dtype)
+                xf = xx.astype(jnp.float32)
+                mu = xf.mean(-1, keepdims=True)
+                var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+                h = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * g + bt
+                     ).astype(x.dtype)
+                out = xx + mlp_int8(h, w1, b1, w2, b2,
+                                    act_name="gelu_tanh")
+                return jnp.sum(out.astype(jnp.float32)) * 1e-20
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return loop
+
+    ms = slope_ms(unfused_builder, (x, w1, b1, w2, b2))
+    print(f"LN->mlp_int8->residual (unfused): {ms:.3f} ms = "
+          f"{flops/ms/1e9:.1f} Top/s")
+
+    for bm in (256, 512):
+        def fused_builder(n, bm=bm):
+            @jax.jit
+            def loop(x, w1, b1, w2, b2):
+                def body(i, carry):
+                    xx = x + (carry * 1e-20).astype(x.dtype)
+                    out = mlp_int8(xx, w1, b1, w2, b2,
+                                   act_name="gelu_tanh", block_m=bm,
+                                   ln_scale=g, ln_bias=bt, ln_eps=1e-5)
+                    return jnp.sum(out.astype(jnp.float32)) * 1e-20
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return loop
+
+        ms = slope_ms(fused_builder, (x, w1, b1, w2, b2))
+        print(f"fused-LN kernel block_m={bm}: {ms:.3f} ms = "
+              f"{flops/ms/1e9:.1f} Top/s")
+
+
 def build_tower(mlp_int8_on):
     cfg = CLIP_L14_CONFIG
     vcfg = dataclasses.replace(cfg.vision, attn_pallas=True,
@@ -170,5 +224,7 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     if mode in ("sublayer", "both"):
         bench_sublayer()
+    if mode == "fused":
+        bench_fused_sublayer()
     if mode in ("tower", "both"):
-        bench_tower()
+        bench_tower(batches=(32, 64, 80))

@@ -62,11 +62,26 @@ def main():
         except Exception as e:
             print(f"  M={M} lin: CRASH {type(e).__name__}: {str(e)[:90]}")
             ok2 = False
+        # fused pre-LN sublayer variant (LN + residual inside the kernel)
+        g = jnp.asarray(rng.normal(1, 0.1, size=(D,)), jnp.float32)
+        bt = jnp.asarray(rng.normal(0, 0.1, size=(D,)), jnp.float32)
+        try:
+            got = mlp_int8(x, w1, b1, w2, b2,
+                           ln_scale=g, ln_bias=bt, ln_eps=1e-5)
+            ok3 = close(
+                got,
+                mlp_int8_reference(x, w1, b1, w2, b2,
+                                   ln_scale=g, ln_bias=bt, ln_eps=1e-5),
+                "mlp_ln")
+        except Exception as e:
+            print(f"  M={M} mlp_ln: CRASH {type(e).__name__}: {str(e)[:90]}")
+            ok3 = False
         print(f"  M={M:5d}: mlp {'OK' if ok1 else 'BAD'}, "
-              f"linear {'OK' if ok2 else 'BAD'}", flush=True)
-        bad += (not ok1) + (not ok2)
+              f"linear {'OK' if ok2 else 'BAD'}, "
+              f"mlp_ln {'OK' if ok3 else 'BAD'}", flush=True)
+        bad += (not ok1) + (not ok2) + (not ok3)
     print(f"{'ALL OK' if bad == 0 else f'{bad} FAILURES'} "
-          f"({len(MS)} M values x 2 kernels)")
+          f"({len(MS)} M values x 3 kernels)")
 
 
 if __name__ == "__main__":

@@ -149,6 +149,54 @@ def test_non_sublane_aligned_rows():
         _assert_matches_emulation(out, ref)
 
 
+@pytest.mark.parametrize("m", [40, 36, 1])
+def test_fused_ln_residual_matches_emulation(m):
+    """The fused pre-LN sublayer variant (ln_scale/ln_bias/ln_eps set):
+    kernel == emulation, incl. ragged/non-sublane-aligned rows; and the
+    whole thing stays within int8 round-off of the unfused chain
+    (separate fp32 LN -> kernel -> residual add)."""
+    rng = np.random.default_rng(21)
+    D, F = 64, 256
+    x = jnp.asarray(rng.normal(size=(m, D)), jnp.bfloat16)
+    w1, b1, w2, b2 = _rand_mlp(rng, D, F)
+    g = jnp.asarray(rng.normal(1, 0.1, size=(D,)), jnp.float32)
+    bt = jnp.asarray(rng.normal(0, 0.1, size=(D,)), jnp.float32)
+    out = mlp_int8(x, w1, b1, w2, b2, block_m=16,
+                   ln_scale=g, ln_bias=bt, ln_eps=1e-5)
+    ref = mlp_int8_reference(x, w1, b1, w2, b2,
+                             ln_scale=g, ln_bias=bt, ln_eps=1e-5)
+    assert out.shape == x.shape
+    _assert_matches_emulation(out, ref)
+    # vs the unfused chain: only int8 round-off apart (the fused path
+    # quantizes the fp32 LN output instead of its bf16 truncation)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * g + bt).astype(jnp.bfloat16)
+    unfused = (xf + mlp_int8(h, w1, b1, w2, b2, block_m=16)
+               .astype(jnp.float32)).astype(jnp.bfloat16)
+    d = np.abs(np.asarray(out, np.float32) - np.asarray(unfused, np.float32))
+    scale = np.abs(np.asarray(unfused, np.float32)).max()
+    assert d.max() <= 0.03 * scale, (d.max(), scale)
+
+
+def test_fused_ln_zero_rows_safe():
+    """LN of an all-zero row yields beta (var=0 guarded by eps); the
+    row-padding pad rows take the same path — must stay finite."""
+    rng = np.random.default_rng(22)
+    D, F = 32, 64
+    x = jnp.zeros((3, D), jnp.float32)
+    w1, b1, w2, b2 = _rand_mlp(rng, D, F)
+    g = jnp.ones((D,), jnp.float32)
+    bt = jnp.asarray(rng.normal(0, 0.1, size=(D,)), jnp.float32)
+    out = np.asarray(mlp_int8(x, w1, b1, w2, b2,
+                              ln_scale=g, ln_bias=bt, ln_eps=1e-5))
+    assert np.isfinite(out).all()
+    ref = mlp_int8_reference(x, w1, b1, w2, b2,
+                             ln_scale=g, ln_bias=bt, ln_eps=1e-5)
+    _assert_matches_emulation(out, ref)
+
+
 def test_prequantized_weights_match_per_call():
     """quantize_mlp_weights + mlp_int8(quant=...) must be bit-identical
     to the per-call quantize path (same math, just hoisted)."""
