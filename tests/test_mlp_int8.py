@@ -210,6 +210,16 @@ def test_prequantized_weights_match_per_call():
     quant = quantize_mlp_weights(w1, w2)
     pre = np.asarray(mlp_int8(x, w1, b1, w2, b2, quant=quant), np.float32)
     np.testing.assert_array_equal(base, pre)
+    # and through the fused pre-LN variant (the production mlp_int8 path)
+    g = jnp.asarray(rng.normal(1, 0.1, size=(D,)), jnp.float32)
+    bt = jnp.asarray(rng.normal(0, 0.1, size=(D,)), jnp.float32)
+    base = np.asarray(mlp_int8(x, w1, b1, w2, b2,
+                               ln_scale=g, ln_bias=bt, ln_eps=1e-5),
+                      np.float32)
+    pre = np.asarray(mlp_int8(x, w1, b1, w2, b2, quant=quant,
+                              ln_scale=g, ln_bias=bt, ln_eps=1e-5),
+                     np.float32)
+    np.testing.assert_array_equal(base, pre)
 
 
 def test_encoder_prequantize_int8_matches():
