@@ -15,6 +15,7 @@ value * 8 / A100_BASELINE_IMG_S.
 """
 
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -45,6 +46,131 @@ def _best_ms(loop, args, n_iter, reps=3):
         dt = (time.perf_counter() - t0) / n_iter
         best = dt if best is None else min(best, dt)
     return best * 1e3
+
+
+# ---------------------------------------------------------------------------
+# Tunnel-proofing (round 3). The axon TPU tunnel wedges transiently
+# (CLAUDE.md "Environment quirks"): execution hangs, device discovery
+# hangs, or it fails loud with FAILED_PRECONDITION/UNAVAILABLE; recovery
+# is 2-10 min of idle time. The driver runs `python bench.py` exactly
+# once per round, so bench.py itself must survive a wedge:
+#   1. probe the backend with a tiny matmul IN A SUBPROCESS under
+#      timeout (a hung probe can be killed without hanging bench.py),
+#      exponential backoff up to ~10 min;
+#   2. run the metric in a child process (`--inner`) with a generous
+#      per-metric timeout;
+#   3. on a failed/hung child: one recovery cycle, one retry;
+#   4. on final failure: ONE structured JSON line with an "error" field
+#      and rc != 0 — never a fabricated value.
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp\n"
+    "x = jnp.ones((256, 256), jnp.float32)\n"
+    "print('PROBE_OK', float((x @ x)[0, 0]))\n"
+)
+
+# metric -> child timeout (s). stage1 decodes 34.8k JPEGs on 1 vCPU and
+# runs two feature passes over the tunnel; everything else is a few
+# compiles + fori_loop reps.
+_INNER_TIMEOUT_S = {
+    "headline": 1800, "hessian": 1500, "epig": 1500, "knn": 1500,
+    "serve": 2400, "family": 2400, "int8": 1800, "stage1": 10800,
+}
+
+
+def _log(msg):
+    print(f"[bench guard] {msg}", file=sys.stderr, flush=True)
+
+
+def _probe_once(timeout_s=120):
+    """One tiny-matmul probe in a subprocess. Returns (ok, detail)."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe hung >{timeout_s}s (wedged tunnel)"
+    if p.returncode == 0 and "PROBE_OK" in p.stdout:
+        return True, "ok"
+    tail = (p.stderr or p.stdout or "").strip().splitlines()
+    return False, tail[-1][:300] if tail else f"probe rc={p.returncode}"
+
+
+def _wait_for_backend(budget_s=720):
+    """Probe/backoff loop (the CLAUDE.md recovery recipe). True if the
+    backend answered a tiny matmul within the budget."""
+    t0 = time.time()
+    backoffs = iter([20, 40, 80, 160, 160, 160, 160])
+    attempt = 0
+    slept = 0.0
+    while True:
+        attempt += 1
+        ok, detail = _probe_once()
+        if ok:
+            if attempt > 1:
+                _log(f"backend recovered after {time.time() - t0:.0f}s "
+                     f"({attempt} probes)")
+            return True
+        _log(f"probe {attempt} failed: {detail}")
+        sleep_s = next(backoffs, 160)
+        # budget counts both real elapsed time (hung probes eat their
+        # timeout) and planned sleeps
+        used = max(time.time() - t0, slept)
+        if used + sleep_s > budget_s:
+            _log(f"backend unavailable after {used:.0f}s")
+            return False
+        _log(f"waiting {sleep_s}s for tunnel recovery "
+             f"({used:.0f}/{budget_s}s used)")
+        time.sleep(sleep_s)
+        slept += sleep_s
+
+
+def _emit_error(metric_name, msg):
+    print(json.dumps({
+        "metric": metric_name, "value": None, "unit": None,
+        "vs_baseline": None, "error": str(msg)[:2000],
+    }))
+    sys.exit(1)
+
+
+def _run_guarded(metric_name):
+    """Driver lane: probe, then run `bench.py --inner <metric>` in a
+    child; on failure/hang do one recovery cycle and one retry."""
+    timeout_s = _INNER_TIMEOUT_S.get(metric_name, 1800)
+    last_err = "unknown"
+    for attempt in (1, 2):
+        if not _wait_for_backend():
+            last_err = "TPU backend unavailable (probe/backoff exhausted)"
+            continue
+        cmd = [sys.executable, __file__, "--inner", metric_name]
+        _log(f"attempt {attempt}: running inner metric '{metric_name}' "
+             f"(timeout {timeout_s}s)")
+        try:
+            # stderr inherited (live progress); stdout captured (the
+            # JSON line must be the last thing WE print, once, on
+            # success only).
+            p = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last_err = f"inner run hung >{timeout_s}s (killed)"
+            _log(last_err)
+            continue
+        out = (p.stdout or "").strip()
+        if p.returncode == 0 and out:
+            lines = [l for l in out.splitlines() if l.strip()]
+            try:
+                json.loads(lines[-1])
+            except Exception:
+                last_err = f"inner rc=0 but non-JSON output: {out[-300:]}"
+                _log(last_err)
+                continue
+            for line in lines:
+                print(line)
+            return
+        last_err = f"inner rc={p.returncode}: {out[-300:] or '(no output)'}"
+        _log(last_err)
+    _emit_error(_METRIC_JSON_NAME.get(metric_name, metric_name), last_err)
 
 
 def _report(metric, value, unit, vs_baseline, baseline):
@@ -735,20 +861,41 @@ def main():
     )
 
 
+_METRIC_FNS = {
+    "headline": main,
+    "hessian": bench_hessian,
+    "epig": bench_epig,
+    "knn": bench_knn,
+    "stage1": bench_stage1,
+    "serve": bench_serve,
+    "family": bench_family,
+    "int8": bench_int8,
+}
+
+# metric key -> the "metric" field its JSON line carries (used for the
+# structured error line so the driver can still attribute a failure)
+_METRIC_JSON_NAME = {
+    "headline": "clip_vitl14_probabilistic_zeroshot_throughput",
+    "hessian": "kfac_ggn_infonce_throughput",
+    "epig": "epig_al_step_scoring",
+    "knn": "knn_sims_topk_step",
+    "stage1": "stage1_hessian_pipeline_e2e",
+    "serve": "serve_probabilistic_zeroshot_latency_b1",
+    "family": "family_vision_tower_throughput",
+    "int8": "vitl_vision_tower_int8_mlp_throughput",
+}
+
+
+def _pick_metric(argv):
+    for key in _METRIC_FNS:
+        if key in argv:
+            return key
+    return "headline"
+
+
 if __name__ == "__main__":
-    if "--metric" in sys.argv and "hessian" in sys.argv:
-        bench_hessian()
-    elif "--metric" in sys.argv and "epig" in sys.argv:
-        bench_epig()
-    elif "--metric" in sys.argv and "knn" in sys.argv:
-        bench_knn()
-    elif "--metric" in sys.argv and "stage1" in sys.argv:
-        bench_stage1()
-    elif "--metric" in sys.argv and "serve" in sys.argv:
-        bench_serve()
-    elif "--metric" in sys.argv and "family" in sys.argv:
-        bench_family()
-    elif "--metric" in sys.argv and "int8" in sys.argv:
-        bench_int8()
+    metric = _pick_metric(sys.argv[1:])
+    if "--inner" in sys.argv:
+        _METRIC_FNS[metric]()       # child lane: run directly, let it raise
     else:
-        main()
+        _run_guarded(metric)        # driver lane: probe/retry supervisor
