@@ -1,13 +1,22 @@
 """kNN over k-means representatives, mapping hits back to full-train
 indices (ref:bayesvlm/knn_kmeans.py).
 
-Same math as `select.knn` with three behavioral additions from the
+Same math as `select.knn` with four behavioral additions from the
 reference variant:
   - expected-norm clamping (>= 1e-12) before the rsqrt
     (ref:bayesvlm/knn_kmeans.py:138-140),
   - per-test-sample cap of `k_nearest` kept neighbors
     (ref:bayesvlm/knn_kmeans.py:205-211),
+  - dynamic buffer re-fetch: when the grow-k' loop exhausts the
+    initially fetched top-k width, a WIDER top-k is fetched
+    (k'+buffersize) and the loop continues; termination is
+    unique>=goal or k' >= n_representatives
+    (ref:bayesvlm/knn_kmeans.py:174,182-186),
   - local->original index remapping through `original_train_indices`.
+
+H2H-verified against the reference's own torch code (both variants,
+re-fetch + per-test cap exercised) in
+tests/test_reference_parity_knn_kmeans.py.
 """
 
 from __future__ import annotations
@@ -21,11 +30,42 @@ import numpy as np
 
 from bayesvlm_tpu.bayes.kfac import KroneckerFactorizedCovariance
 from bayesvlm_tpu.probforward.smith import activation_diag_covariance
-from bayesvlm_tpu.select.knn import _dedup_loop, wdist2
+from bayesvlm_tpu.select.knn import wdist2
 from bayesvlm_tpu.types import EncoderResult
 from bayesvlm_tpu.ops import topk_exact
 
 Array = jax.Array
+
+
+def _dedup_refetch(sims: Array, k_nearest: int, buffersize: int):
+    """Grow-k' dedup with the kmeans variant's dynamic buffer re-fetch
+    (ref:bayesvlm/knn_kmeans.py:150-186): fetch top-(k_nearest+buffer),
+    grow k' by 1 until the column-major flattened top-k' ids contain
+    >= k_nearest*n_test unique entries or k' >= n_representatives; when
+    k' outgrows the fetched width, re-fetch top-(k'+buffer). Then trim
+    the flat id list from the end to exactly the goal unique count
+    (ref :54-64) — the kept set. Returns (ids, vals, k', keep) with ids
+    /vals at the LAST fetched width (the reference collects from the
+    re-fetched topk, ref :194)."""
+    n_test, n_reps = sims.shape
+    goal = k_nearest * n_test
+    k_fetch = min(k_nearest + buffersize, n_reps)
+    vals, ids = topk_exact(sims, k_fetch)
+    ids_np, vals_np = np.asarray(ids), np.asarray(vals)
+    k_ = k_nearest
+    while True:
+        flat = ids_np[:, :k_].T.flatten()  # clamped slice, as in torch
+        if np.unique(flat).size >= goal or k_ >= n_reps:
+            trimmed = flat
+            while np.unique(trimmed).size > goal:
+                trimmed = trimmed[:-1]
+            keep = set(np.unique(trimmed).tolist())
+            return ids_np, vals_np, min(k_, ids_np.shape[1]), keep
+        k_ += 1
+        if k_ > k_fetch and k_fetch < n_reps:
+            k_fetch = min(k_ + buffersize, n_reps)
+            vals, ids = topk_exact(sims, k_fetch)
+            ids_np, vals_np = np.asarray(ids), np.asarray(vals)
 
 
 def _expected_cosine_clamped(
@@ -83,12 +123,7 @@ def find_similar_samples_cosine(
     """ref:bayesvlm/knn_kmeans.py:80-224."""
     test_sub = test[jnp.asarray(indices_test)]
     sims = _expected_cosine_clamped(test_sub, train, source_covariance, has_bias)
-    n_reps = train.embeds.shape[0]
-    k_cap = min(k_nearest + buffersize, n_reps)
-    vals, ids = topk_exact(sims, k_cap)
-    ids_np, vals_np = np.asarray(ids), np.asarray(vals)
-    n_test = len(np.asarray(indices_test))
-    k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)
+    ids_np, vals_np, k_, keep = _dedup_refetch(sims, k_nearest, buffersize)
     return _collect_remapped(
         ids_np, vals_np, k_, keep,
         np.asarray(indices_test), np.asarray(values_test),
@@ -115,12 +150,7 @@ def find_similar_samples_wasserstein(
     sims = -jnp.clip(
         wdist2(test_sub.embeds, train.embeds, test_diag, train_diag), 0.0
     )
-    n_reps = train.embeds.shape[0]
-    k_cap = min(k_nearest + buffersize, n_reps)
-    vals, ids = topk_exact(sims, k_cap)
-    ids_np, vals_np = np.asarray(ids), np.asarray(vals)
-    n_test = len(np.asarray(indices_test))
-    k_, keep = _dedup_loop(ids_np, vals_np, k_nearest, n_test)
+    ids_np, vals_np, k_, keep = _dedup_refetch(sims, k_nearest, buffersize)
     return _collect_remapped(
         ids_np, vals_np, k_, keep,
         np.asarray(indices_test), np.asarray(values_test),
