@@ -36,7 +36,25 @@ import threading
 import warnings
 from typing import Callable, Iterable, Iterator, List, Optional, Sequence
 
-_SENTINEL = ("__bvt_end__",)
+class _Ctrl:
+    """Control-message envelope for the prefetch queues. A private class
+    (not a tuple/str) so no wrapped loader's batch object can ever be
+    mistaken for an end/error signal — isinstance survives pickling
+    across the process boundary, unlike object identity."""
+
+    __slots__ = ("kind", "payload")
+
+    def __init__(self, kind: str, payload=None):
+        self.kind = kind
+        self.payload = payload
+
+
+def _end():
+    return _Ctrl("end")
+
+
+def _err(payload):
+    return _Ctrl("err", payload)
 
 
 class PrefetchLoader:
@@ -67,20 +85,19 @@ class PrefetchLoader:
                             break
                         except queue.Full:
                             continue
-                q.put(_SENTINEL)
+                q.put(_end())
             except BaseException as e:  # propagate to consumer
-                q.put(("__bvt_err__", e))
+                q.put(_err(e))
 
         t = threading.Thread(target=run, daemon=True, name="bvt-prefetch")
         t.start()
         try:
             while True:
                 item = q.get()
-                if isinstance(item, tuple) and len(item) >= 1:
-                    if item[0] == "__bvt_end__":
+                if isinstance(item, _Ctrl):
+                    if item.kind == "end":
                         break
-                    if item[0] == "__bvt_err__":
-                        raise item[1]
+                    raise item.payload
                 yield item
         finally:
             stop.set()
@@ -91,6 +108,38 @@ class PrefetchLoader:
             except queue.Empty:
                 pass
             t.join(timeout=5.0)
+
+
+_warned_fork_after_jax = False
+
+
+def _warn_if_forking_after_jax_init():
+    """Warn once when decode workers fork after the JAX backend has been
+    initialized in this process (ADVICE round-2): the forked children
+    inherit live device-client/gRPC thread state. Harmless for the
+    PIL/tar work they do in practice, but not guaranteed by the runtime."""
+    global _warned_fork_after_jax
+    if _warned_fork_after_jax:
+        return
+    import sys
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is None:
+        return
+    try:
+        from jax._src import xla_bridge
+        initialized = bool(xla_bridge._backends)
+    except Exception:
+        return
+    if initialized:
+        _warned_fork_after_jax = True
+        warnings.warn(
+            "ParallelPILLoader is forking decode workers after the JAX "
+            "backend was initialized in this process; forking with live "
+            "device-client threads is not guaranteed safe. Prefer building "
+            "and iterating dataloaders before first device use, or use "
+            "num_workers<2 / the native decode lane.",
+            RuntimeWarning, stacklevel=3,
+        )
 
 
 def _worker_main(tar_paths, make_iter, batch_size, drop_last, collate_fn,
@@ -108,10 +157,10 @@ def _worker_main(tar_paths, make_iter, batch_size, drop_last, collate_fn,
                 batch = []
         if batch and not drop_last:
             out_q.put(collate_fn(batch))
-        out_q.put(_SENTINEL)
+        out_q.put(_end())
     except BaseException as e:
         try:
-            out_q.put(("__bvt_err__", repr(e)))
+            out_q.put(_err(repr(e)))
         except Exception:
             pass
 
@@ -148,6 +197,14 @@ class ParallelPILLoader:
         self.collate_fn = collate_fn or default_collate
 
     def __iter__(self) -> Iterator:
+        # Workers are forked: they inherit the dataset/transform without
+        # pickling, but forking a process that already holds live
+        # TPU-client/gRPC threads is not guaranteed safe even though the
+        # children only do PIL/tar work. Build and start dataloaders
+        # BEFORE the first device use where possible; if fork-related
+        # hangs appear on a real host, fall back to num_workers<2 (the
+        # PrefetchLoader thread lane) or the native decode lane.
+        _warn_if_forking_after_jax_init()
         ctx = mp.get_context("fork")  # inherit dataset/transform, no pickling
         n = min(self.num_workers, max(1, len(self.tar_paths)))
         if n < 2:
@@ -180,13 +237,12 @@ class ParallelPILLoader:
             while live:
                 for w in list(live):
                     item = queues[w].get()
-                    if isinstance(item, tuple) and len(item) >= 1:
-                        if item[0] == "__bvt_end__":
+                    if isinstance(item, _Ctrl):
+                        if item.kind == "end":
                             live.remove(w)
                             continue
-                        if item[0] == "__bvt_err__":
-                            raise RuntimeError(
-                                f"decode worker {w} failed: {item[1]}")
+                        raise RuntimeError(
+                            f"decode worker {w} failed: {item.payload}")
                     yield item
         finally:
             stop_evt.set()

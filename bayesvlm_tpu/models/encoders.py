@@ -69,6 +69,10 @@ class _EncoderBase:
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())),
                 self.quant_vars,
             )
+            # device placement does not change the weights: re-pin the
+            # int8 cache's source tree so _validate_quant_cache does not
+            # see the new leaf objects as a params swap
+            extra["quant_src"] = params
         return dataclasses.replace(self, mesh=mesh, params=params, **extra)
 
     def _shard_batch(self, x):
@@ -179,6 +183,9 @@ class ImageEncoder(_EncoderBase):
     # prequantized W8A8 weight cache ("int8" variables collection,
     # stacked per-layer like params) — see prequantize_int8()
     quant_vars: Any = None
+    # the params tree the cache was derived from (identity-checked per
+    # call so the cache can never silently outlive its weights)
+    quant_src: Any = None
 
     def __post_init__(self):
         family = self.config.family
@@ -211,9 +218,53 @@ class ImageEncoder(_EncoderBase):
     def __call__(self, images: Array) -> EncoderResult:
         if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
             images = jnp.transpose(images, (0, 2, 3, 1))  # NCHW -> NHWC
+        self._validate_quant_cache()
         xs, orig = self._shard_batch(jnp.asarray(images))
         res = self._fwd(self.params, self.quant_vars, xs)
         return res if orig is None else res[:orig]
+
+    def _non_projection_leaves(self, params) -> tuple:
+        """Param leaves the int8 cache derives from: everything outside
+        the projection subtree (projection updates keep the cache valid
+        — the Laplace layer is outside the MLP sublayers)."""
+        proj_head = _projection_path(self.config.family, self.tower)[0]
+        return tuple(
+            leaf
+            for key in sorted(k for k in params if k != proj_head)
+            for leaf in jax.tree_util.tree_leaves(params[key])
+        )
+
+    def _validate_quant_cache(self):
+        """Guard against a stale W8A8 cache after a params swap (ADVICE
+        round-2): fast path is one `is` check on the params tree object;
+        on replacement, compare non-projection leaves by identity and
+        requantize (with a warning) only when the MLP weights really
+        changed. Mutates the cache fields in place — they are a cache,
+        not model state."""
+        if self.quant_vars is None:
+            return
+        if self.params is self.quant_src:
+            return
+        src = (self._non_projection_leaves(self.quant_src)
+               if self.quant_src is not None else None)
+        cur = self._non_projection_leaves(self.params)
+        if src is not None and len(src) == len(cur) and all(
+            a is b for a, b in zip(cur, src)
+        ):
+            # projection-only update (with_projection / load_projection_
+            # weights): cache still valid, re-pin to the new tree
+            self.quant_src = self.params
+            return
+        import warnings
+
+        warnings.warn(
+            "ImageEncoder params were replaced after prequantize_int8(); "
+            "recomputing the W8A8 weight cache from the new params.",
+            RuntimeWarning, stacklevel=3,
+        )
+        fresh = self.prequantize_int8()
+        self.quant_vars = fresh.quant_vars
+        self.quant_src = fresh.quant_src
 
     def prequantize_int8(self) -> "ImageEncoder":
         """Precompute the W8A8 weight cache so int8 forwards skip the
@@ -222,7 +273,9 @@ class ImageEncoder(_EncoderBase):
         prequantization"). No-op unless the tower has an int8 path
         enabled (mlp_int8). Projection updates (with_projection) keep
         the cache valid — the Laplace projection is outside the MLP
-        sublayers — but a full params swap should re-run this."""
+        sublayers. A full params swap is detected per call
+        (_validate_quant_cache) and the cache is recomputed with a
+        warning, so it can never silently outlive its weights."""
         vcfg = self.config.vision
         if not getattr(vcfg, "mlp_int8", False):
             return self
@@ -239,7 +292,8 @@ class ImageEncoder(_EncoderBase):
                 lambda x: jax.device_put(
                     x, NamedSharding(self.mesh, P())), quant
             )
-        return dataclasses.replace(self, quant_vars=quant)
+        return dataclasses.replace(self, quant_vars=quant,
+                                   quant_src=self.params)
 
 
 @dataclasses.dataclass

@@ -256,7 +256,14 @@ if __name__ == "__main__":
         "the reference defaults to 5 to bound its [B,D,D] per-sample "
         "intermediates, which this GEMM reformulation does not have, so "
         "the default here is sized for the [block, C] logits buffer.")
-    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument(
+        "--num_workers", type=int, default=8,
+        help="Decode parallelism. >=2 on the PIL lane activates forked "
+        "decode worker processes (round-robin tar assignment): sample "
+        "order is deterministic but differs from num_workers<2, and "
+        "drop_last applies PER WORKER (up to num_workers*(batch_size-1) "
+        "fewer samples than a global drop_last). With --native_decode "
+        "this is the C++ decoder thread count instead.")
     parser.add_argument("--hessian_dir", type=str, default="hessians/custom-hessian-clip-base")
     parser.add_argument("--num_files", type=int, default=60)
     parser.add_argument("--max_datapoints", type=int, default=327680)

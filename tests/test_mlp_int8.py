@@ -246,3 +246,45 @@ def test_encoder_prequantize_int8_matches():
     pre = pre_enc(x)
     np.testing.assert_array_equal(np.asarray(base.embeds),
                                   np.asarray(pre.embeds))
+
+def test_prequantize_cache_invalidates_on_params_swap():
+    """ADVICE round-2: a full params swap after prequantize_int8() must
+    not serve int8 weights derived from the old parameters. The cache
+    self-validates per call: projection-only updates keep it (no
+    recompute, no warning); a swap of MLP weights triggers a warned
+    requantize and the output matches a fresh prequantization."""
+    import dataclasses
+    import warnings
+
+    from bayesvlm_tpu.models.encoders import load_model
+
+    img8, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0,
+                            mlp_int8=True)
+    x = jnp.asarray(
+        np.random.default_rng(13).normal(
+            size=(2, img8.config.vision.image_size,
+                  img8.config.vision.image_size, 3)), jnp.float32)
+    pre = img8.prequantize_int8()
+
+    # projection-only update: cache stays, no warning
+    proj = dict(pre.projection_tree())
+    proj["kernel"] = proj["kernel"] * 2.0
+    pre_proj = pre.with_projection(proj)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out_proj = pre_proj(x)
+    assert pre_proj.quant_vars is pre.quant_vars
+
+    # full swap (different seed = different MLP weights): warned requant
+    img8b, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=7,
+                             mlp_int8=True)
+    swapped = dataclasses.replace(pre, params=img8b.params)
+    with pytest.warns(RuntimeWarning, match="recomputing the W8A8"):
+        out_swapped = swapped(x)
+    fresh = img8b.prequantize_int8()(x)
+    np.testing.assert_array_equal(np.asarray(out_swapped.embeds),
+                                  np.asarray(fresh.embeds))
+    # and the healed cache does not warn again
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        swapped(x)
