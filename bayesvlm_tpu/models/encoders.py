@@ -188,32 +188,34 @@ class ImageEncoder(_EncoderBase):
     quant_src: Any = None
 
     def __post_init__(self):
+        self._fwd = jax.jit(self.forward_graph)
+
+    def forward_graph(self, params, quant, pixels) -> EncoderResult:
+        """Pure traceable forward (no jit, no sharding): uint8
+        normalize lane + family-specific output packing. Shared by the
+        jitted __call__ path and the AOT-fused serving program
+        (pipeline.ProbabilisticVLM.compile_serving)."""
         family = self.config.family
+        if pixels.dtype == jnp.uint8:
+            # uint8 ingest lane: /255 + mean/std normalize in-graph
+            # (XLA fuses it into the patch conv); the host ships raw
+            # uint8 crops — 4x less H2D traffic (data/transforms.py
+            # *_uint8 variants, native decode_batch_u8)
+            from bayesvlm_tpu.data.transforms import NORMALIZATION_BY_FAMILY
 
-        @jax.jit
-        def fwd(params, quant, pixels):
-            if pixels.dtype == jnp.uint8:
-                # uint8 ingest lane: /255 + mean/std normalize in-graph
-                # (XLA fuses it into the patch conv); the host ships raw
-                # uint8 crops — 4x less H2D traffic (data/transforms.py
-                # *_uint8 variants, native decode_batch_u8)
-                from bayesvlm_tpu.data.transforms import NORMALIZATION_BY_FAMILY
-
-                mean, std = NORMALIZATION_BY_FAMILY[family]
-                x = pixels.astype(jnp.float32) / 255.0
-                pixels = (x - jnp.asarray(mean, jnp.float32)) \
-                    / jnp.asarray(std, jnp.float32)
-            cols = {"params": params}
-            if quant is not None:
-                cols["int8"] = quant
-            out = self.module.apply(cols, pixels)
-            if family == "siglip":
-                embeds, activations, residuals = out
-                return EncoderResult(embeds=embeds, activations=activations, residuals=residuals)
-            embeds, activations = out
-            return EncoderResult.create(embeds=embeds, activations=activations)
-
-        self._fwd = fwd
+            mean, std = NORMALIZATION_BY_FAMILY[family]
+            x = pixels.astype(jnp.float32) / 255.0
+            pixels = (x - jnp.asarray(mean, jnp.float32)) \
+                / jnp.asarray(std, jnp.float32)
+        cols = {"params": params}
+        if quant is not None:
+            cols["int8"] = quant
+        out = self.module.apply(cols, pixels)
+        if family == "siglip":
+            embeds, activations, residuals = out
+            return EncoderResult(embeds=embeds, activations=activations, residuals=residuals)
+        embeds, activations = out
+        return EncoderResult.create(embeds=embeds, activations=activations)
 
     def __call__(self, images: Array) -> EncoderResult:
         if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:

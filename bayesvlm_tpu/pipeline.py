@@ -38,6 +38,7 @@ class ProbabilisticVLM:
         self.transform = transform
         self.mesh = mesh
         self._label_features: Optional[EncoderResult] = None
+        self._serving: Optional[dict] = None
 
     # -- construction ---------------------------------------------------
 
@@ -141,8 +142,92 @@ class ProbabilisticVLM:
 
     def set_class_prompts(self, prompts: Sequence[str]) -> "ProbabilisticVLM":
         """Embed and cache the label set once for repeated predict calls."""
+        old = self._label_features
         self._label_features = self.encode_texts(prompts)
+        if self._serving is not None and (
+            old is None
+            or old.embeds.shape != self._label_features.embeds.shape
+        ):
+            # the AOT program's label avals no longer match: drop it
+            # (recompile via compile_serving if the fast path is wanted)
+            self._serving = None
         return self
+
+    # -- AOT serving fast path (VERDICT round-2 item 6) ------------------
+
+    def compile_serving(self, batch_size: int,
+                        input_dtype=jnp.float32) -> "ProbabilisticVLM":
+        """AOT-compile ONE fused XLA program (pixels -> encoder -> Smith
+        head -> probit softmax) for a fixed [batch_size, H, W, 3] input
+        signature, with the pixel buffer donated.
+
+        Why: the default predict() chain issues several separate jitted
+        programs and make_predictions fetches logits to host between the
+        head and the softmax — at B=1 the per-call dispatch + that extra
+        round trip dominate device compute. The fused program is one
+        dispatch, keeps intermediates on device, and donation lets XLA
+        reuse the input buffer for intermediates.
+
+        predict() dispatches to it automatically when the input matches
+        the compiled signature (and num_samples=0 with cached class
+        prompts); anything else falls back to the general path. Labels /
+        params / covariances stay runtime arguments, so projection or
+        covariance updates do NOT require recompilation — only a changed
+        class count does (set_class_prompts invalidates then).
+        Single-device path by design; on a >1-device mesh use predict().
+        """
+        import jax
+
+        from bayesvlm_tpu.probforward.smith import probabilistic_logits
+
+        if self._label_features is None:
+            raise ValueError("call set_class_prompts before compile_serving")
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            raise ValueError("compile_serving is the single-device latency "
+                             "path; multi-device serving goes via predict()")
+        enc = self.image_encoder
+        enc._validate_quant_cache()
+        vcfg = enc.config.vision
+
+        def serve(params, quant, labels, head, pixels):
+            feats = enc.forward_graph(params, quant, pixels)
+            return probabilistic_logits(head, feats, labels).probit_softmax()
+
+        shape = (batch_size, vcfg.image_size, vcfg.image_size, 3)
+        compiled = (
+            jax.jit(serve, donate_argnums=(4,))
+            .lower(enc.params, enc.quant_vars, self._label_features,
+                   self.head, jax.ShapeDtypeStruct(shape, input_dtype))
+            .compile()
+        )
+        self._serving = dict(exe=compiled, shape=shape,
+                             dtype=jnp.dtype(input_dtype))
+        return self
+
+    def _predict_fast(self, images, num_samples: int,
+                      class_prompts) -> Optional[jnp.ndarray]:
+        """Run the AOT program when the call matches its signature;
+        None -> caller falls back to the general path."""
+        if (self._serving is None or num_samples != 0
+                or class_prompts is not None
+                or isinstance(images, EncoderResult)):
+            return None
+        import jax
+
+        srv = self._serving
+        pixels = self._pixels(images)
+        if tuple(pixels.shape) != srv["shape"]:
+            return None
+        if pixels.dtype != srv["dtype"]:
+            pixels = pixels.astype(srv["dtype"])
+        if isinstance(images, jax.Array) and pixels is images:
+            # the executable donates its pixel argument; never invalidate
+            # a buffer the caller still owns
+            pixels = jnp.array(pixels, copy=True)
+        enc = self.image_encoder
+        enc._validate_quant_cache()
+        return srv["exe"](enc.params, enc.quant_vars, self._label_features,
+                          self.head, pixels)
 
     # -- inference ------------------------------------------------------
 
@@ -185,6 +270,11 @@ class ProbabilisticVLM:
         when num_samples=0 (ref:scripts/zeroshot.py:119-120), MC softmax
         otherwise (ref:bayesvlm/vlm.py:80-103). Delegates to
         ProbabilisticLogits.softmax, which handles the full-covariance
-        variance shape correctly as well."""
+        variance shape correctly as well. When compile_serving() has
+        been called and the input matches its signature, the fused AOT
+        program serves the call in one dispatch."""
+        fast = self._predict_fast(images, num_samples, class_prompts)
+        if fast is not None:
+            return fast
         pl = self.logits(images, class_prompts, batch_size=batch_size)
         return pl.softmax(num_samples=num_samples, seed=seed)

@@ -405,22 +405,34 @@ def bench_serve():
 
         compute_ms = _best_ms(loop, (params, pixels), n_iter=N_ITER, reps=3)
 
-        jit_predict = jax.jit(predict_graph)
-        host_pixels = np.asarray(
-            rng_np.normal(size=(B, 224, 224, 3)), np.float32)
-        np.asarray(jit_predict(params, jnp.asarray(host_pixels,
-                                                   jnp.bfloat16)))
-        walls = []
-        for _ in range(15):
-            t0 = time.perf_counter()
-            np.asarray(jit_predict(
-                params, jnp.asarray(host_pixels, jnp.bfloat16)))
-            walls.append((time.perf_counter() - t0) * 1e3)
-        walls.sort()
+        def _walls(fn):
+            host_pixels = np.asarray(
+                rng_np.normal(size=(B, 224, 224, 3)), np.float32)
+            np.asarray(fn(params, jnp.asarray(host_pixels, jnp.bfloat16)))
+            ws = []
+            for _ in range(15):
+                t0 = time.perf_counter()
+                np.asarray(fn(params, jnp.asarray(host_pixels,
+                                                  jnp.bfloat16)))
+                ws.append((time.perf_counter() - t0) * 1e3)
+            ws.sort()
+            return ws
+
+        walls = _walls(jax.jit(predict_graph))
+        # AOT single-program path with pixel-buffer donation — the
+        # pipeline.compile_serving fast path (one dispatch, input buffer
+        # reusable for intermediates)
+        aot = (
+            jax.jit(predict_graph, donate_argnums=(1,))
+            .lower(params, jax.ShapeDtypeStruct(pixels.shape, pixels.dtype))
+            .compile()
+        )
+        walls_aot = _walls(aot)
         detail["batches"][f"B{B}"] = {
             "compute_ms": round(compute_ms, 2),
             "wall_ms_p50": round(walls[len(walls) // 2], 1),
             "wall_ms_p95": round(walls[int(len(walls) * 0.95) - 1], 1),
+            "wall_ms_p50_aot": round(walls_aot[len(walls_aot) // 2], 1),
         }
         if B == 1:
             compute_b1 = compute_ms

@@ -128,3 +128,59 @@ def test_auto_mesh_matches_single_device(hessian_dir):
     pf = np.asarray(vlm_dense.predict(imgs, class_prompts=PROMPTS,
                                       batch_size=64))
     np.testing.assert_allclose(pc, pf, rtol=1e-5, atol=1e-6)
+
+def test_compile_serving_matches_general_path(hessian_dir):
+    """The AOT-fused serving program (compile_serving) must produce the
+    same probit probabilities as the general predict() chain, donate
+    safely (never invalidating a caller-owned device buffer), fall back
+    on signature mismatch, and be invalidated by a class-count change."""
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    ).set_class_prompts(PROMPTS)
+
+    imgs = _images(n=2)
+    slow = np.asarray(vlm.predict(imgs))
+    assert vlm._serving is None  # not compiled yet: general path served
+
+    vlm.compile_serving(batch_size=2)
+    fast = vlm.predict(imgs)
+    np.testing.assert_allclose(np.asarray(fast), slow, rtol=1e-5, atol=1e-6)
+
+    # caller-owned device buffer survives donation (copied internally)
+    dev_imgs = jnp.asarray(imgs)
+    fast2 = np.asarray(vlm.predict(dev_imgs))
+    assert not dev_imgs.is_deleted()
+    np.testing.assert_allclose(np.asarray(dev_imgs), imgs)  # still readable
+    np.testing.assert_allclose(fast2, slow, rtol=1e-5, atol=1e-6)
+
+    # signature mismatch (different B) falls back to the general path
+    imgs5 = _images(n=5, seed=2)
+    out5 = np.asarray(vlm.predict(imgs5))
+    assert out5.shape == (5, 4)
+
+    # MC sampling request bypasses the probit-only fast path
+    mc = np.asarray(vlm.predict(imgs, num_samples=16, seed=0))
+    assert mc.shape == (2, 4)
+    assert not np.allclose(mc, slow, atol=1e-12)
+
+    # same class count: recompile not needed after set_class_prompts
+    vlm.set_class_prompts([p.upper() for p in PROMPTS])
+    assert vlm._serving is not None
+    out_new = np.asarray(vlm.predict(imgs))
+    assert out_new.shape == (2, 4)
+
+    # changed class count invalidates the compiled program
+    vlm.set_class_prompts(PROMPTS + ["An image of a thing 4"])
+    assert vlm._serving is None
+    out6 = np.asarray(vlm.predict(imgs))
+    assert out6.shape == (2, 5)
+
+
+def test_compile_serving_guards(hessian_dir):
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    )
+    with pytest.raises(ValueError, match="set_class_prompts"):
+        vlm.compile_serving(batch_size=1)
