@@ -66,7 +66,16 @@ def expected_cosine_similarity(
 def _dedup_loop(topk_idx: np.ndarray, topk_val: np.ndarray, k_nearest: int, n_test: int):
     """Host-side reference dedup (ref:bayesvlm/knn.py:93-135): grow k' until
     the column-major flattened top-k' indices contain >= k_nearest*n_test
-    unique entries, then trim from the end."""
+    unique entries, then trim from the end.
+
+    DIVERGENCE (upstream latent bug fixed here): the reference's loop has
+    no termination guard — when the fetched top-(k_nearest+buffersize)
+    columns cannot supply enough unique train indices, its
+    `topk.indices[:, :k_]` slice clamps silently, the unique count stops
+    growing, and `k_ += 1` spins forever (ref:bayesvlm/knn.py:95-110).
+    We break at the fetched width and return what exists. (The kmeans
+    variant upstream instead RE-FETCHES a wider top-k — that behavior is
+    reproduced exactly in select/knn_kmeans.py:_dedup_refetch.)"""
     goal = k_nearest * n_test
     k_ = k_nearest
     max_k = topk_idx.shape[1]

@@ -223,3 +223,33 @@ def test_kmeans_separates_clusters():
     assert len(set(assign[:50])) == 1
     assert len(set(assign[50:])) == 1
     assert assign[0] != assign[50]
+
+def test_knn_dedup_terminates_when_pool_cannot_reach_goal():
+    """DIVERGENCE pin (upstream latent bug fixed here): when the train
+    pool cannot supply k_nearest*n_test unique indices, the reference's
+    grow-k' loop spins forever (its [:, :k'] slice clamps silently,
+    ref:bayesvlm/knn.py:95-110); ours terminates at the fetched width
+    and returns everything available. The kmeans variant's re-fetch
+    semantics are H2H-tested separately."""
+    rng = np.random.default_rng(11)
+    train = _toy_features(rng, 10, 8, 6)  # only 10 possible unique
+    test = _toy_features(rng, 20, 8, 6)
+    cov = KroneckerFactorizedCovariance(
+        A_inv=jnp.asarray(np.eye(6, dtype=np.float32)),
+        B_inv=jnp.asarray(np.eye(8, dtype=np.float32)),
+    )
+    idx_test = np.arange(5)
+    vals_test = np.zeros(5, np.float32)
+    out = find_similar_samples_cosine(
+        train, test, idx_test, vals_test,
+        k_nearest=4,  # goal = 20 unique > 10 in the pool
+        source_covariance=cov, buffersize=3, mesh=None,
+    )
+    flat = extract_test_train_indices(out)
+    # the union of fetched columns covers the whole pool (seeded case)
+    assert sorted(flat["train"]) == list(range(10))
+    for v in out.values():
+        # each row returns its full fetched width (k_nearest+buffersize),
+        # nothing trimmed: the goal is unreachable so the kept set is
+        # everything fetched
+        assert len(v["indices"]) == 7
