@@ -46,6 +46,8 @@ def main():
         # weights_dir=...,    # local HF snapshot (offline)
         # tokenizer_dir=...,  # local tokenizer files
         prior_num_steps=100,
+        mesh=None,  # single-device latency lane (compile_serving below);
+                    # drop this to auto-shard batches on a multi-chip mesh
     ).set_class_prompts([f"An image of a thing {i}" for i in range(5)])
 
     rng = np.random.default_rng(1)
@@ -61,6 +63,14 @@ def main():
     print("predictive var (mean over batch):",
           float(np.mean(np.asarray(logits.var))))
     print("MC vs probit max |d|:", float(np.abs(mc - probs).max()))
+
+    # low-latency lane: AOT-compile the predict chain into one fused
+    # donated-input program for a fixed batch size; predict() uses it
+    # automatically on signature match
+    vlm.compile_serving(batch_size=8)
+    fast = np.asarray(vlm.predict(images))
+    print("AOT fast path max |d| vs general path:",
+          float(np.abs(fast - probs).max()))
 
 
 if __name__ == "__main__":
