@@ -97,9 +97,21 @@ def _probe_once(timeout_s=120):
     return False, tail[-1][:300] if tail else f"probe rc={p.returncode}"
 
 
-def _wait_for_backend(budget_s=720):
+def _env_float(name, default):
+    import os
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+def _wait_for_backend(budget_s=None):
     """Probe/backoff loop (the CLAUDE.md recovery recipe). True if the
-    backend answered a tiny matmul within the budget."""
+    backend answered a tiny matmul within the budget. Budget is per
+    attempt (two attempts per metric); BVT_BENCH_PROBE_BUDGET_S extends
+    it for known long wedges (observed up to 2h+)."""
+    if budget_s is None:
+        budget_s = _env_float("BVT_BENCH_PROBE_BUDGET_S", 720.0)
     t0 = time.time()
     backoffs = iter([20, 40, 80, 160, 160, 160, 160])
     attempt = 0
@@ -137,7 +149,8 @@ def _emit_error(metric_name, msg):
 def _run_guarded(metric_name):
     """Driver lane: probe, then run `bench.py --inner <metric>` in a
     child; on failure/hang do one recovery cycle and one retry."""
-    timeout_s = _INNER_TIMEOUT_S.get(metric_name, 1800)
+    timeout_s = _env_float("BVT_BENCH_INNER_TIMEOUT_S",
+                           _INNER_TIMEOUT_S.get(metric_name, 1800))
     last_err = "unknown"
     for attempt in (1, 2):
         if not _wait_for_backend():

@@ -122,3 +122,16 @@ def test_inner_child_invocation_headline_compiles():
         capture_output=True, text=True, timeout=120)
     assert p.returncode == 0, p.stderr
     assert "headline" in p.stdout
+
+
+def test_env_budget_overrides(bench, monkeypatch):
+    monkeypatch.setenv("BVT_BENCH_PROBE_BUDGET_S", "50")
+    monkeypatch.setattr(
+        bench, "_probe_once", lambda **kw: (False, "wedged"))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    assert bench._wait_for_backend() is False
+    assert sum(slept) <= 50
+    # malformed env falls back to the default
+    monkeypatch.setenv("BVT_BENCH_PROBE_BUDGET_S", "not-a-number")
+    assert bench._env_float("BVT_BENCH_PROBE_BUDGET_S", 720.0) == 720.0
