@@ -184,3 +184,18 @@ def test_compile_serving_guards(hessian_dir):
     )
     with pytest.raises(ValueError, match="set_class_prompts"):
         vlm.compile_serving(batch_size=1)
+
+def test_compile_serving_with_int8_tower(hessian_dir):
+    """compile_serving composes with the int8 production mode: the AOT
+    program embeds the prequantized W8A8 lane (from_pretrained runs
+    prequantize_int8 automatically) and matches the general path."""
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None, mlp_int8=True,
+    ).set_class_prompts(PROMPTS)
+    assert vlm.image_encoder.quant_vars is not None  # prequantized
+    imgs = _images(n=2, seed=5)
+    slow = np.asarray(vlm.predict(imgs))
+    vlm.compile_serving(batch_size=2)
+    fast = np.asarray(vlm.predict(imgs))
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
