@@ -50,12 +50,19 @@ from bayesvlm_tpu.models.attention_pallas import _out_struct
 _EPS = 1e-12
 
 
-def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-output-channel symmetric absmax int8: w [K, N] -> (int8 [K, N],
-    fp32 scale [1, N]) with w ~= wq * scale."""
+def quantize_weight(w: jax.Array, bits: int = 8) -> tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric absmax int quantization: w [K, N] ->
+    (intN [K, N], fp32 scale [1, N]) with w ~= wq * scale. bits=8 is the
+    production W8A8 lane; bits=4 (jnp.int4, range +-7) is the
+    weight-only-int4 probe lane (W4A8) — opt-in, pending the int4 MXU
+    rate measurement (scripts/dev/bench_int4_mxu.py)."""
+    if bits not in (8, 4):
+        raise ValueError(f"quantize_weight: bits must be 8 or 4, got {bits}")
+    qmax = 127.0 if bits == 8 else 7.0
+    qdtype = jnp.int8 if bits == 8 else jnp.int4
     w = w.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), _EPS) / 127.0
-    wq = jnp.round(w / s).astype(jnp.int8)  # |w/s| <= 127 by construction
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), _EPS) / qmax
+    wq = jnp.round(w / s).astype(qdtype)  # |w/s| <= qmax by construction
     return wq, s
 
 
@@ -127,24 +134,27 @@ def _mlp_int8_kernel(x_ref, *refs, act_name: str, ln_eps: float | None):
     o_ref[:] = of.astype(o_ref.dtype)
 
 
-def quantize_mlp_weights(w1: jax.Array, w2: jax.Array) -> dict:
-    """Precompute the W8A8 weight cache for one MLP sublayer — pass as
-    `mlp_int8(..., quant=...)` to skip the per-call weight quantization
-    (~1.06 ms/call for all 24 ViT-L MLPs on chip; ~25% of a B=1 serving
-    forward, BASELINE.md "int8 prequantization")."""
-    w1q, s1 = quantize_weight(w1)
-    w2q, s2 = quantize_weight(w2)
+def quantize_mlp_weights(w1: jax.Array, w2: jax.Array,
+                         weight_bits: int = 8) -> dict:
+    """Precompute the quantized weight cache for one MLP sublayer — pass
+    as `mlp_int8(..., quant=...)` to skip the per-call weight
+    quantization (~1.06 ms/call for all 24 ViT-L MLPs on chip; ~25% of a
+    B=1 serving forward, BASELINE.md "int8 prequantization")."""
+    w1q, s1 = quantize_weight(w1, weight_bits)
+    w2q, s2 = quantize_weight(w2, weight_bits)
     return {"w1q": w1q, "s1": s1, "w2q": w2q, "s2": s2}
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("act_name", "block_m", "ln_eps"))
+                   static_argnames=("act_name", "block_m", "ln_eps",
+                                    "weight_bits"))
 def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
              b2: jax.Array, act_name: str = "gelu_tanh",
              block_m: int = 512, quant: dict | None = None,
              ln_scale: jax.Array | None = None,
              ln_bias: jax.Array | None = None,
-             ln_eps: float | None = None) -> jax.Array:
+             ln_eps: float | None = None,
+             weight_bits: int = 8) -> jax.Array:
     """W8A8 MLP sublayer: x [..., D] -> fc2(act(fc1(x))) [..., D].
 
     w1 [D, F], b1 [F], w2 [F, D], b2 [D] in fp32/bf16 (quantized here,
@@ -181,8 +191,8 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     tm = min(block_m, Mp)
 
     if quant is None:
-        w1q, s1 = quantize_weight(w1)
-        w2q, s2 = quantize_weight(w2)
+        w1q, s1 = quantize_weight(w1, weight_bits)
+        w2q, s2 = quantize_weight(w2, weight_bits)
     else:
         w1q, s1, w2q, s2 = (quant["w1q"], quant["s1"],
                             quant["w2q"], quant["s2"])
@@ -227,7 +237,8 @@ def mlp_int8(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
 
 
 def mlp_int8_reference(x, w1, b1, w2, b2, act_name="gelu_tanh",
-                       ln_scale=None, ln_bias=None, ln_eps=None):
+                       ln_scale=None, ln_bias=None, ln_eps=None,
+                       weight_bits=8):
     """Pure-jnp emulation of the kernel's exact math (same quantization,
     same fp32 dequant chain, same fused-LN/residual variant) — the
     unit-test oracle."""
@@ -236,8 +247,8 @@ def mlp_int8_reference(x, w1, b1, w2, b2, act_name="gelu_tanh",
     act = _ACTS[act_name]
     orig_shape = x.shape
     xm = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
-    w1q, s1 = quantize_weight(w1)
-    w2q, s2 = quantize_weight(w2)
+    w1q, s1 = quantize_weight(w1, weight_bits)
+    w2q, s2 = quantize_weight(w2, weight_bits)
     if ln_eps is not None:
         ln_in = _ln_rows(xm, ln_scale.astype(jnp.float32)[None, :],
                          ln_bias.astype(jnp.float32)[None, :], ln_eps)

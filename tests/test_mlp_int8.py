@@ -288,3 +288,67 @@ def test_prequantize_cache_invalidates_on_params_swap():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         swapped(x)
+
+def test_weight_bits4_kernel_matches_emulation():
+    """W4A8 lane (weight_bits=4, jnp.int4 weights): kernel == pure-jnp
+    oracle exactly, and the quantization error sits in the expected band
+    (worse than W8A8, but bounded by the +-7-level round-off)."""
+    from bayesvlm_tpu.models.mlp_int8 import (
+        mlp_int8, mlp_int8_reference, quantize_weight,
+    )
+
+    rng = np.random.default_rng(21)
+    M, D, F = 48, 32, 64
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(D, F)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(F,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(F, D)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(D,)) * 0.01, jnp.float32)
+
+    out4 = mlp_int8(x, w1, b1, w2, b2, block_m=32, weight_bits=4)
+    ref4 = mlp_int8_reference(x, w1, b1, w2, b2, weight_bits=4)
+    # 1-ulp fp32 dequant reassociation between the interpret-mode kernel
+    # and the jnp oracle on this lane (scale chain instruction selection)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
+                               rtol=1e-5, atol=1e-6)
+
+    # int4 weights really are int4 (range +-7)
+    w1q, s1 = quantize_weight(w1, bits=4)
+    assert w1q.dtype == jnp.int4
+    assert int(jnp.max(jnp.abs(w1q.astype(jnp.int32)))) <= 7
+
+    # error ordering: fp32 exact > W8A8 > W4A8, both within sane bands
+    exact = (jnp.tanh(0.0),)  # no-op to keep jax warm
+    import jax as _jax
+    def fp32_mlp(x):
+        h = x @ w1 + b1
+        c = jnp.float32(0.7978845608028654)
+        a = 0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h ** 3)))
+        return a @ w2 + b2
+    truth = np.asarray(fp32_mlp(x))
+    err8 = np.abs(np.asarray(
+        mlp_int8(x, w1, b1, w2, b2, block_m=32, weight_bits=8)) - truth)
+    err4 = np.abs(np.asarray(out4) - truth)
+    scale = np.abs(truth).max()
+    assert err8.max() < 0.02 * scale
+    assert err4.max() < 0.15 * scale
+    assert err4.mean() > err8.mean()  # int4 is coarser, as expected
+
+
+def test_weight_bits4_prequantized_cache():
+    from bayesvlm_tpu.models.mlp_int8 import mlp_int8, quantize_mlp_weights
+
+    rng = np.random.default_rng(22)
+    M, D, F = 32, 16, 32
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(D, F)) * 0.1, jnp.float32)
+    b1 = jnp.zeros((F,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(F, D)) * 0.1, jnp.float32)
+    b2 = jnp.zeros((D,), jnp.float32)
+    quant = quantize_mlp_weights(w1, w2, weight_bits=4)
+    assert quant["w1q"].dtype == jnp.int4
+    out_pre = mlp_int8(x, w1, b1, w2, b2, block_m=32, quant=quant,
+                       weight_bits=4)
+    out_dyn = mlp_int8(x, w1, b1, w2, b2, block_m=32, weight_bits=4)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_dyn),
+                               rtol=1e-5, atol=1e-6)
