@@ -22,7 +22,6 @@ tests/test_reference_parity_knn_kmeans.py.
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
