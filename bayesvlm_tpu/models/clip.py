@@ -82,6 +82,7 @@ class CLIPVisionTower(nn.Module):
             attn_pallas=cfg.attn_pallas,
             attn_pallas_block=cfg.attn_pallas_block,
             mlp_int8=getattr(cfg, "mlp_int8", False),
+            mlp_weight_bits=getattr(cfg, "mlp_weight_bits", 8),
             attn_int8=getattr(cfg, "attn_int8", False),
             name="encoder",
         )(h)

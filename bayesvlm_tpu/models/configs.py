@@ -42,6 +42,11 @@ class VisionConfig:
     # the fc1/fc2 GEMMs. Approximate — opt-in only; calibration deltas
     # in BASELINE.md. Vision towers only (text towers are <2% of time).
     mlp_int8: bool = False
+    # Weight width for the int8 MLP kernel: 8 = production W8A8; 4 =
+    # W4A8 (jnp.int4 weights, +-7 levels) — INTERNAL PROBE LANE, not
+    # exposed in CLIs until the int4 MXU rate is measured on chip
+    # (scripts/dev/bench_int4_mxu.py; see BASELINE.md).
+    mlp_weight_bits: int = 8
     # W8A8 int8 QKV + out attention projections (models/linear_int8.py,
     # fused-QKV [D, 3D] GEMM; non-causal self-attention only). MEASURED
     # NEGATIVE on v5e (x0.82-0.94 end-to-end, BASELINE.md "int8

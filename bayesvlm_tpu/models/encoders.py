@@ -389,6 +389,7 @@ def load_model(
     remat: bool = False,
     mlp_int8: bool = False,
     attn_int8: bool = False,
+    mlp_weight_bits: int = 8,
 ) -> Tuple[ImageEncoder, TextEncoder, ProbabilisticHead]:
     """Build (image_encoder, text_encoder, similarity head) for a model name
     (ref:bayesvlm/utils.py:28-46).
@@ -410,7 +411,8 @@ def load_model(
     if mlp_int8 or attn_int8:
         config = _dc.replace(
             config, vision=_dc.replace(
-                config.vision, mlp_int8=mlp_int8, attn_int8=attn_int8
+                config.vision, mlp_int8=mlp_int8, attn_int8=attn_int8,
+                mlp_weight_bits=mlp_weight_bits,
             )
         )
     vision, text = _make_towers(config, dtype, remat)

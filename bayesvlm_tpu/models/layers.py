@@ -206,6 +206,9 @@ class MLP(nn.Module):
     # fused W8A8 int8 kernel (models/mlp_int8.py) — opt-in, approximate;
     # param tree is unchanged (kernel consumes the same fc1/fc2 weights)
     use_int8: bool = False
+    # weight quantization width for the int8 kernel: 8 (production W8A8)
+    # or 4 (W4A8 probe lane, pending the int4 MXU rate measurement)
+    weight_bits: int = 8
 
     @nn.compact
     def __call__(self, x: Array, pre_ln: Optional[tuple] = None) -> Array:
@@ -224,7 +227,9 @@ class MLP(nn.Module):
             # collection skips the per-call weight quantize (~1 ms/call
             # at ViT-L — ImageEncoder.prequantize_int8)
             if self.is_mutable_collection("int8"):
-                self.put_variable("int8", "mlp", quantize_mlp_weights(w1, w2))
+                self.put_variable(
+                    "int8", "mlp",
+                    quantize_mlp_weights(w1, w2, self.weight_bits))
             quant = (self.get_variable("int8", "mlp")
                      if self.has_variable("int8", "mlp") else None)
             if pre_ln is not None:
@@ -232,9 +237,10 @@ class MLP(nn.Module):
                 lns, lnb, eps = pre_ln
                 return mlp_int8(x, w1, b1, w2, b2,
                                 act_name=self.hidden_act, quant=quant,
-                                ln_scale=lns, ln_bias=lnb, ln_eps=eps)
+                                ln_scale=lns, ln_bias=lnb, ln_eps=eps,
+                                weight_bits=self.weight_bits)
             return mlp_int8(x, w1, b1, w2, b2, act_name=self.hidden_act,
-                            quant=quant)
+                            quant=quant, weight_bits=self.weight_bits)
         if pre_ln is not None:
             raise ValueError("MLP(pre_ln=...) requires use_int8=True")
         act_name = self.hidden_act
@@ -277,6 +283,7 @@ class TransformerBlock(nn.Module):
     attn_pallas: bool = False
     attn_pallas_block: bool = False
     mlp_int8: bool = False
+    mlp_weight_bits: int = 8
     attn_int8: bool = False
 
     @nn.compact
@@ -315,6 +322,7 @@ class TransformerBlock(nn.Module):
                 hidden_act=self.hidden_act,
                 dtype=self.dtype,
                 use_int8=True,
+                weight_bits=self.mlp_weight_bits,
                 name="mlp",
             )(x, pre_ln=(lns, lnb, self.layer_norm_eps))
         h = LayerNormFP32(eps=self.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
@@ -324,6 +332,7 @@ class TransformerBlock(nn.Module):
             hidden_act=self.hidden_act,
             dtype=self.dtype,
             use_int8=self.mlp_int8,
+            weight_bits=self.mlp_weight_bits,
             name="mlp",
         )(h)
         return x
@@ -342,6 +351,7 @@ class _ScanBlock(nn.Module):
     attn_pallas: bool = False
     attn_pallas_block: bool = False
     mlp_int8: bool = False
+    mlp_weight_bits: int = 8
     attn_int8: bool = False
 
     @nn.compact
@@ -357,6 +367,7 @@ class _ScanBlock(nn.Module):
             attn_pallas=self.attn_pallas,
             attn_pallas_block=self.attn_pallas_block,
             mlp_int8=self.mlp_int8,
+            mlp_weight_bits=self.mlp_weight_bits,
             attn_int8=self.attn_int8,
             name="block",
         )(x, mask)
@@ -386,6 +397,7 @@ class TransformerEncoder(nn.Module):
     attn_pallas: bool = False
     attn_pallas_block: bool = False
     mlp_int8: bool = False
+    mlp_weight_bits: int = 8
     attn_int8: bool = False
 
     @nn.compact
@@ -417,6 +429,7 @@ class TransformerEncoder(nn.Module):
             attn_pallas=self.attn_pallas,
             attn_pallas_block=self.attn_pallas_block,
             mlp_int8=self.mlp_int8,
+            mlp_weight_bits=self.mlp_weight_bits,
             attn_int8=self.attn_int8,
             name="layers",
         )

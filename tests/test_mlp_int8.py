@@ -352,3 +352,30 @@ def test_weight_bits4_prequantized_cache():
     out_dyn = mlp_int8(x, w1, b1, w2, b2, block_m=32, weight_bits=4)
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_dyn),
                                rtol=1e-5, atol=1e-6)
+
+def test_tower_weight_bits4_close_to_fp32():
+    """mlp_weight_bits=4 threads through VisionConfig -> tower -> kernel;
+    the W4A8 tower stays close to the fp32 tower (coarser than W8A8 but
+    bounded), and prequantize_int8 caches int4 weights."""
+    from bayesvlm_tpu.models.encoders import load_model
+
+    base, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0)
+    img4, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0,
+                            mlp_int8=True, mlp_weight_bits=4)
+
+    x = jnp.asarray(
+        np.random.default_rng(31).normal(
+            size=(2, base.config.vision.image_size,
+                  base.config.vision.image_size, 3)), jnp.float32)
+    ref = np.asarray(base(x).embeds)
+    out4 = np.asarray(img4(x).embeds)
+    rel = np.linalg.norm(out4 - ref) / np.linalg.norm(ref)
+    assert rel < 0.2, rel  # coarse but sane at random-init tiny scale
+
+    pre = img4.prequantize_int8()
+    leaf = jax.tree_util.tree_leaves(pre.quant_vars)[0]
+    assert any(
+        l.dtype == jnp.int4 for l in jax.tree_util.tree_leaves(pre.quant_vars)
+    )
+    out_pre = np.asarray(pre(x).embeds)
+    np.testing.assert_allclose(out_pre, out4, rtol=1e-5, atol=1e-6)
