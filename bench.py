@@ -918,9 +918,30 @@ def _pick_metric(argv):
     return "headline"
 
 
+def _start_parent_watchdog():
+    """Inner-lane safety: if the supervisor dies (e.g. the driver
+    hard-kills it), exit rather than linger as a stray process holding
+    the TPU tunnel — stray clients are the documented cause of the next
+    wedge (CLAUDE.md)."""
+    import os
+    import threading
+
+    parent = os.getppid()
+
+    def watch():
+        while True:
+            time.sleep(5)
+            if os.getppid() != parent:
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True,
+                     name="bvt-parent-watchdog").start()
+
+
 if __name__ == "__main__":
     metric = _pick_metric(sys.argv[1:])
     if "--inner" in sys.argv:
+        _start_parent_watchdog()
         _METRIC_FNS[metric]()       # child lane: run directly, let it raise
     else:
         _run_guarded(metric)        # driver lane: probe/retry supervisor
