@@ -379,3 +379,50 @@ def test_tower_weight_bits4_close_to_fp32():
     )
     out_pre = np.asarray(pre(x).embeds)
     np.testing.assert_allclose(out_pre, out4, rtol=1e-5, atol=1e-6)
+
+
+def test_siglip_tower_weight_bits4_close_to_fp32():
+    """Cross-family composition: mlp_weight_bits=4 threads through the
+    SigLIP tower (incl. the fc1/fc2 head surgery) the same way it does
+    for CLIP — W4A8 output stays bounded-close to the fp32 tower."""
+    base, _, _ = load_model("tiny-siglip", dtype=jnp.float32, seed=0)
+    img4, _, _ = load_model("tiny-siglip", dtype=jnp.float32, seed=0,
+                            mlp_int8=True, mlp_weight_bits=4)
+    s = base.config.vision.image_size
+    x = jnp.asarray(
+        np.random.default_rng(33).normal(size=(2, s, s, 3)), jnp.float32)
+    ref = np.asarray(base(x).embeds)
+    out4 = np.asarray(img4(x).embeds)
+    rel = np.linalg.norm(out4 - ref) / np.linalg.norm(ref)
+    assert rel < 0.2, rel
+    assert np.isfinite(out4).all()
+
+
+def test_weight_bits4_tower_under_gspmd_batch_sharding():
+    """Multi-chip composition for the W4A8 lane: a batch-sharded GSPMD
+    jit of the W4A8 tower (jnp.int4 weights through the fused MLP
+    kernel) must match the unsharded forward exactly — per-row
+    activation quantization is row-local and the int4 weight quantize is
+    batch-independent (mirrors the W8A8 GSPMD test in
+    test_linear_int8.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bayesvlm_tpu.dist.mesh import make_mesh
+
+    vcfg = dataclasses.replace(TINY_CLIP_CONFIG.vision, attn_pallas=True,
+                               mlp_int8=True, mlp_weight_bits=4)
+    mod = CLIPVisionTower(vcfg, dtype=jnp.float32)
+    rng = np.random.default_rng(34)
+    x = jnp.asarray(
+        rng.normal(size=(16, vcfg.image_size, vcfg.image_size, 3)),
+        jnp.float32)
+    params = mod.init(jax.random.key(0), x)["params"]
+    ref = mod.apply({"params": params}, x)[0]
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("data",))
+    xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda p, xs: mod.apply({"params": p}, xs)[0],
+                out_shardings=NamedSharding(mesh, P()))
+    out = f(params, xd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
