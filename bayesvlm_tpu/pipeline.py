@@ -174,7 +174,13 @@ class ProbabilisticVLM:
         params / covariances stay runtime arguments, so projection or
         covariance updates do NOT require recompilation — only a changed
         class count does (set_class_prompts invalidates then).
-        Single-device path by design; on a >1-device mesh use predict().
+
+        On a >1-device mesh the same program is compiled batch-sharded
+        (GSPMD over the mesh's data axis: pixels split across chips,
+        params/labels replicated) — the throughput-serving lane.
+        `batch_size` must then divide evenly over the data axis; the
+        fast path re-pins runtime arguments to their compiled shardings
+        per call (a no-op when nothing moved).
         """
         import jax
 
@@ -182,9 +188,26 @@ class ProbabilisticVLM:
 
         if self._label_features is None:
             raise ValueError("call set_class_prompts before compile_serving")
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            raise ValueError("compile_serving is the single-device latency "
-                             "path; multi-device serving goes via predict()")
+        sharded = self.mesh is not None and self.mesh.devices.size > 1
+        pix_sharding = rep = None
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.mesh
+            axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+            n = mesh.shape[axis]
+            if batch_size % n != 0:
+                raise ValueError(
+                    f"compile_serving on a {n}-way '{axis}' mesh needs "
+                    f"batch_size divisible by {n}, got {batch_size}")
+            pix_sharding = NamedSharding(mesh, P(axis, None, None, None))
+            rep = NamedSharding(mesh, P())
+            if self.image_encoder.mesh is not mesh:
+                self.image_encoder = self.image_encoder.with_mesh(mesh)
+            # AOT executables require inputs committed with the compiled
+            # shardings — pin the cached runtime arguments now
+            self._label_features = jax.device_put(self._label_features, rep)
+            self.head = jax.device_put(self.head, rep)
         enc = self.image_encoder
         enc._validate_quant_cache()
         vcfg = enc.config.vision
@@ -194,14 +217,19 @@ class ProbabilisticVLM:
             return probabilistic_logits(head, feats, labels).probit_softmax()
 
         shape = (batch_size, vcfg.image_size, vcfg.image_size, 3)
+        pixel_aval = (
+            jax.ShapeDtypeStruct(shape, input_dtype, sharding=pix_sharding)
+            if sharded else jax.ShapeDtypeStruct(shape, input_dtype)
+        )
         compiled = (
             jax.jit(serve, donate_argnums=(4,))
             .lower(enc.params, enc.quant_vars, self._label_features,
-                   self.head, jax.ShapeDtypeStruct(shape, input_dtype))
+                   self.head, pixel_aval)
             .compile()
         )
         self._serving = dict(exe=compiled, shape=shape,
-                             dtype=jnp.dtype(input_dtype))
+                             dtype=jnp.dtype(input_dtype),
+                             pix_sharding=pix_sharding, rep=rep)
         return self
 
     def _predict_fast(self, images, num_samples: int,
@@ -226,8 +254,21 @@ class ProbabilisticVLM:
             pixels = jnp.array(pixels, copy=True)
         enc = self.image_encoder
         enc._validate_quant_cache()
-        return srv["exe"](enc.params, enc.quant_vars, self._label_features,
-                          self.head, pixels)
+        params, quant, labels, head = (enc.params, enc.quant_vars,
+                                       self._label_features, self.head)
+        if srv["pix_sharding"] is not None:
+            # sharded lane: the AOT executable rejects inputs whose
+            # committed sharding differs from the compiled one — re-pin
+            # everything (no-op copies when nothing moved; catches e.g.
+            # a with_projection update that introduced unplaced leaves
+            # or re-encoded same-shape class prompts)
+            pixels = jax.device_put(pixels, srv["pix_sharding"])
+            params = jax.device_put(params, srv["rep"])
+            quant = jax.device_put(quant, srv["rep"]) \
+                if quant is not None else None
+            labels = jax.device_put(labels, srv["rep"])
+            head = jax.device_put(head, srv["rep"])
+        return srv["exe"](params, quant, labels, head, pixels)
 
     # -- inference ------------------------------------------------------
 

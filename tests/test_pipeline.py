@@ -185,6 +185,62 @@ def test_compile_serving_guards(hessian_dir):
     with pytest.raises(ValueError, match="set_class_prompts"):
         vlm.compile_serving(batch_size=1)
 
+
+def test_compile_serving_sharded_matches_dense(hessian_dir):
+    """The batch-sharded AOT serving lane (compile_serving on a >1-device
+    mesh: pixels split over the data axis, params/labels replicated) must
+    reproduce the dense single-device probs, fall back on signature
+    mismatch, reject non-divisible batch sizes, and survive runtime-
+    argument churn (projection update, re-encoded class prompts)."""
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh="auto",
+    ).set_class_prompts(PROMPTS)
+    assert vlm.mesh is not None and vlm.mesh.devices.size == 8
+    vlm_dense = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    ).set_class_prompts(PROMPTS)
+
+    with pytest.raises(ValueError, match="divisible"):
+        vlm.compile_serving(batch_size=6)
+
+    vlm.compile_serving(batch_size=16)
+    imgs = _images(n=16, seed=7)
+    fast = np.asarray(vlm.predict(imgs))
+    dense = np.asarray(vlm_dense.predict(imgs))
+    np.testing.assert_allclose(fast, dense, rtol=1e-5, atol=1e-6)
+
+    # committed device input with the wrong (single-device) placement is
+    # re-pinned to the compiled sharding, and the caller's buffer survives
+    dev_imgs = jnp.asarray(imgs)
+    fast2 = np.asarray(vlm.predict(dev_imgs))
+    assert not dev_imgs.is_deleted()
+    np.testing.assert_allclose(fast2, dense, rtol=1e-5, atol=1e-6)
+
+    # signature mismatch (uneven batch) falls back to the general
+    # sharded path, which pads internally
+    out7 = np.asarray(vlm.predict(_images(n=7, seed=8)))
+    assert out7.shape == (7, 4)
+
+    # a projection update introduces fresh unplaced leaves; the fast
+    # path must re-pin them instead of tripping the AOT sharding check
+    proj = dict(vlm.image_encoder.projection_tree())
+    rng = np.random.default_rng(9)
+    proj["kernel"] = proj["kernel"] * 1.3 + jnp.asarray(
+        rng.normal(scale=0.2, size=proj["kernel"].shape), jnp.float32)
+    vlm.image_encoder = vlm.image_encoder.with_projection(proj)
+    vlm_dense.image_encoder = vlm_dense.image_encoder.with_projection(proj)
+    upd = np.asarray(vlm.predict(imgs))
+    upd_dense = np.asarray(vlm_dense.predict(imgs))
+    assert not np.allclose(upd, dense)  # the update actually took
+    np.testing.assert_allclose(upd, upd_dense, rtol=1e-5, atol=1e-6)
+
+    # same class count: serving stays valid through re-encoded prompts
+    vlm.set_class_prompts([p.upper() for p in PROMPTS])
+    assert vlm._serving is not None
+    assert np.asarray(vlm.predict(imgs)).shape == (16, 4)
+
 def test_compile_serving_with_int8_tower(hessian_dir):
     """compile_serving composes with the int8 production mode: the AOT
     program embeds the prequantized W8A8 lane (from_pretrained runs
