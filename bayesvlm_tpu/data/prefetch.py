@@ -204,7 +204,6 @@ class ParallelPILLoader:
         # BEFORE the first device use where possible; if fork-related
         # hangs appear on a real host, fall back to num_workers<2 (the
         # PrefetchLoader thread lane) or the native decode lane.
-        _warn_if_forking_after_jax_init()
         ctx = mp.get_context("fork")  # inherit dataset/transform, no pickling
         n = min(self.num_workers, max(1, len(self.tar_paths)))
         if n < 2:
@@ -218,6 +217,9 @@ class ParallelPILLoader:
             if batch and not self.drop_last:
                 yield self.collate_fn(batch)
             return
+        # warn only when we are actually about to fork (the n<2 branch
+        # above never forks, and must not burn the warn-once flag)
+        _warn_if_forking_after_jax_init()
         stop_evt = ctx.Event()
         queues = [ctx.Queue(maxsize=2) for _ in range(n)]
         procs = [

@@ -227,9 +227,16 @@ class ProbabilisticVLM:
                    self.head, pixel_aval)
             .compile()
         )
-        self._serving = dict(exe=compiled, shape=shape,
-                             dtype=jnp.dtype(input_dtype),
-                             pix_sharding=pix_sharding, rep=rep)
+        self._serving = dict(
+            exe=compiled, shape=shape, dtype=jnp.dtype(input_dtype),
+            pix_sharding=pix_sharding, rep=rep,
+            # pytree structure the program was lowered with — checked per
+            # call so a structural change (e.g. the int8 cache appearing
+            # after compile) falls back instead of a TypeError
+            arg_treedef=jax.tree_util.tree_structure(
+                (enc.params, enc.quant_vars, self._label_features,
+                 self.head)),
+        )
         return self
 
     def _predict_fast(self, images, num_samples: int,
@@ -247,27 +254,41 @@ class ProbabilisticVLM:
         if tuple(pixels.shape) != srv["shape"]:
             return None
         if pixels.dtype != srv["dtype"]:
+            if not (jnp.issubdtype(pixels.dtype, jnp.floating)
+                    and jnp.issubdtype(srv["dtype"], jnp.floating)):
+                # coercing across the uint8/float boundary would silently
+                # skip (or fake) the in-graph uint8 normalization lane
+                # (forward_graph branches on pixels.dtype == uint8):
+                # fall back to the general path instead
+                return None
             pixels = pixels.astype(srv["dtype"])
-        if isinstance(images, jax.Array) and pixels is images:
-            # the executable donates its pixel argument; never invalidate
-            # a buffer the caller still owns
-            pixels = jnp.array(pixels, copy=True)
         enc = self.image_encoder
         enc._validate_quant_cache()
         params, quant, labels, head = (enc.params, enc.quant_vars,
                                        self._label_features, self.head)
+        if jax.tree_util.tree_structure(
+                (params, quant, labels, head)) != srv["arg_treedef"]:
+            # runtime-argument structure changed since compile (e.g.
+            # prequantize_int8 ran after compile_serving, or the encoder
+            # was swapped): the AOT program can't serve it — fall back
+            return None
         if srv["pix_sharding"] is not None:
             # sharded lane: the AOT executable rejects inputs whose
             # committed sharding differs from the compiled one — re-pin
-            # everything (no-op copies when nothing moved; catches e.g.
-            # a with_projection update that introduced unplaced leaves
-            # or re-encoded same-shape class prompts)
+            # everything (no-op when nothing moved; catches e.g. a
+            # with_projection update that introduced unplaced leaves or
+            # re-encoded same-shape class prompts)
             pixels = jax.device_put(pixels, srv["pix_sharding"])
             params = jax.device_put(params, srv["rep"])
             quant = jax.device_put(quant, srv["rep"]) \
                 if quant is not None else None
             labels = jax.device_put(labels, srv["rep"])
             head = jax.device_put(head, srv["rep"])
+        if isinstance(images, jax.Array) and pixels is images:
+            # the executable donates its pixel argument; never invalidate
+            # a buffer the caller still owns (a no-op device_put above
+            # returns the same object; jnp.array copy keeps the sharding)
+            pixels = jnp.array(pixels, copy=True)
         return srv["exe"](params, quant, labels, head, pixels)
 
     # -- inference ------------------------------------------------------

@@ -34,15 +34,21 @@ run() {
   sleep 10
 }
 
-# Phase A: re-validation sweep (VERDICT item 8) — known-safe code paths
-run 2400 python bench.py
-run 2400 python bench.py --metric hessian
-run 2400 python bench.py --metric epig
-run 2400 python bench.py --metric knn
-run 3600 python bench.py --metric family
-run 2400 python bench.py --metric int8
+# Phase A: re-validation sweep (VERDICT item 8) — known-safe code paths.
+# Outer timeouts must EXCEED bench.py's own guard worst case
+# ((720s probe budget + inner timeout) x 2 attempts), or a mid-queue
+# wedge gets the supervisor SIGTERM'd mid-retry — the exact mid-run
+# kill CLAUDE.md warns causes the next wedge — and eats the structured
+# error line. headline/int8 inner=1800 -> 5100; hessian/epig/knn
+# inner=1500 -> 4500; family/serve inner=2400 -> 6300.
+run 5100 python bench.py
+run 4500 python bench.py --metric hessian
+run 4500 python bench.py --metric epig
+run 4500 python bench.py --metric knn
+run 6300 python bench.py --metric family
+run 5100 python bench.py --metric int8
 # Phase B: serving AOT table (VERDICT item 6 numbers)
-run 2400 python bench.py --metric serve
+run 6300 python bench.py --metric serve
 # Phase C: int4 experiments LAST (worker-crash risk)
 echo "=== $(date +%H:%M:%S) phase C: int4 probes (crash-risk lane)" >> "$LOG"
 run 1500 python scripts/dev/bench_int4_mxu.py

@@ -241,6 +241,50 @@ def test_compile_serving_sharded_matches_dense(hessian_dir):
     assert vlm._serving is not None
     assert np.asarray(vlm.predict(imgs)).shape == (16, 4)
 
+def test_compile_serving_dtype_and_structure_fallbacks(hessian_dir):
+    """The AOT fast path must FALL BACK (not silently mis-serve, not
+    crash) when (a) a uint8 batch hits a float-compiled program — an
+    astype would skip the in-graph /255+normalize lane and produce
+    garbage — and (b) the runtime-argument pytree structure changed
+    after compilation (int8 cache appearing/disappearing)."""
+    import dataclasses
+
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    ).set_class_prompts(PROMPTS)
+    vlm.compile_serving(batch_size=2)
+
+    # (a) uint8 input, float32-compiled program: general path must serve
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    via_fast_api = np.asarray(vlm.predict(u8))
+    vlm_plain = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    ).set_class_prompts(PROMPTS)
+    general = np.asarray(vlm_plain.predict(u8))
+    np.testing.assert_allclose(via_fast_api, general, rtol=1e-5, atol=1e-6)
+    # float64 -> float32 coercion is still allowed on the fast path
+    f64 = _images(n=2).astype(np.float64)
+    ok = np.asarray(vlm.predict(f64))
+    np.testing.assert_allclose(
+        ok, np.asarray(vlm_plain.predict(f64)), rtol=1e-5, atol=1e-6)
+
+    # (b) int8 cache structure change after compile: fall back, no crash
+    vlm8 = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None, mlp_int8=True,
+    ).set_class_prompts(PROMPTS)
+    vlm8.compile_serving(batch_size=2)  # lowered WITH the quant cache
+    imgs = _images(n=2, seed=11)
+    expected = np.asarray(vlm8.predict(imgs))
+    vlm8.image_encoder = dataclasses.replace(
+        vlm8.image_encoder, quant_vars=None, quant_src=None)
+    out = np.asarray(vlm8.predict(imgs))  # must not raise TypeError
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
 def test_compile_serving_with_int8_tower(hessian_dir):
     """compile_serving composes with the int8 production mode: the AOT
     program embeds the prequantized W8A8 lane (from_pretrained runs

@@ -104,6 +104,44 @@ def test_parallel_loader_single_shard_degenerates(tmp_path):
     assert [v for b in out for v in b] == list(range(8))
 
 
+def test_single_shard_does_not_burn_fork_warning(tmp_path):
+    """The n<2 branch never forks, so it must neither emit the
+    fork-after-JAX-init warning nor consume the warn-once flag (a later
+    loader that actually forks would then warn nothing)."""
+    import warnings
+
+    import jax
+
+    from bayesvlm_tpu.data import prefetch as pf
+
+    jax.devices()  # ensure the backend is initialized (warning armed)
+    old = pf._warned_fork_after_jax
+    try:
+        pf._warned_fork_after_jax = False
+        tars = _make_tars(tmp_path, n_tars=1, per_tar=4)
+        collate = lambda batch: [s["v"] for s in batch]
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            list(ParallelPILLoader(tars, _make_iter, batch_size=2,
+                                   num_workers=4, drop_last=False,
+                                   collate_fn=collate))
+        assert not any("forking decode workers" in str(r.message)
+                       for r in rec)
+        assert pf._warned_fork_after_jax is False
+        # a loader that actually forks still warns
+        (tmp_path / "multi").mkdir()
+        tars2 = _make_tars(tmp_path / "multi", n_tars=2, per_tar=4)
+        with warnings.catch_warnings(record=True) as rec2:
+            warnings.simplefilter("always")
+            list(ParallelPILLoader(tars2, _make_iter, batch_size=2,
+                                   num_workers=2, drop_last=False,
+                                   collate_fn=collate))
+        assert any("forking decode workers" in str(r.message)
+                   for r in rec2)
+    finally:
+        pf._warned_fork_after_jax = old
+
+
 def test_parallel_loader_worker_error_raises(tmp_path):
     tars = _make_tars(tmp_path, n_tars=2, per_tar=4)
 
