@@ -19,10 +19,16 @@ probe() {
   timeout 150 python -c "import jax, jax.numpy as jnp; x=jnp.ones((256,256)); print(float((x@x)[0,0]))" >/dev/null 2>&1
 }
 
-echo "$(date +%H:%M:%S) queue runner start (safe-order v2)" >> "$LOG"
+echo "$(date +%H:%M:%S) queue runner start (safe-order v3)" >> "$LOG"
+# Escalating backoff between probes: every failed probe is itself a
+# hung client that the timeout SIGTERMs — the exact kill-mid-run
+# pattern CLAUDE.md says can re-wedge the tunnel. Long fully-idle
+# windows (up to 40 min) give it the best chance to recover.
+SLEEP=600
 until probe; do
-  echo "$(date +%H:%M:%S) wedged" >> "$LOG"
-  sleep 600
+  echo "$(date +%H:%M:%S) wedged (next probe in ${SLEEP}s)" >> "$LOG"
+  sleep "$SLEEP"
+  [ "$SLEEP" -lt 2400 ] && SLEEP=$((SLEEP + 600))
 done
 echo "$(date +%H:%M:%S) PROBE_OK — starting on-chip queue" >> "$LOG"
 
