@@ -271,6 +271,21 @@ def test_compile_serving_dtype_and_structure_fallbacks(hessian_dir):
     np.testing.assert_allclose(
         ok, np.asarray(vlm_plain.predict(f64)), rtol=1e-5, atol=1e-6)
 
+    # uint8-COMPILED program: the AOT graph embeds the /255+normalize
+    # lane and serves uint8 batches; float inputs then fall back
+    vlm_u8 = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    ).set_class_prompts(PROMPTS)
+    vlm_u8.compile_serving(batch_size=2, input_dtype=jnp.uint8)
+    fast_u8 = np.asarray(vlm_u8.predict(u8))
+    np.testing.assert_allclose(fast_u8, general, rtol=1e-5, atol=1e-6)
+    f32 = _images(n=2, seed=4)
+    via_fallback = np.asarray(vlm_u8.predict(f32))  # float on uint8 program
+    np.testing.assert_allclose(
+        via_fallback, np.asarray(vlm_plain.predict(f32)),
+        rtol=1e-5, atol=1e-6)
+
     # (b) int8 cache structure change after compile: fall back, no crash
     vlm8 = ProbabilisticVLM.from_pretrained(
         "tiny-clip", str(hessian_dir), dtype="fp32",
