@@ -114,6 +114,8 @@ def tar_index(path) -> List[Tuple[str, int, int]]:
 
 def read_member(path, offset: int, size: int) -> bytes:
     lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run make -C native)")
     buf = (ctypes.c_uint8 * size)()
     rc = lib.bvt_pread(str(path).encode(), offset, size, buf)
     if rc != 0:

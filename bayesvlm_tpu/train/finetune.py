@@ -197,9 +197,16 @@ def finetune_projection(
             losses.append(float(loss))
 
         train_m, val_m, test_m = _eval_all(img_proj)
+        # checkpoint selection uses <= (ties keep the LATER epoch —
+        # ref:scripts/activelearning.py:211), but patience only resets on
+        # STRICT improvement (ref:scripts/activelearning_kmeans.py:416):
+        # a plateau of exactly-repeating val losses must still trigger
+        # early stopping, not refresh it forever
+        improved_strictly = val_m["loss"] < best_val_loss
         if val_m["loss"] <= best_val_loss:
             best_val_loss = val_m["loss"]
             best_proj, best_test_m, best_val_m = img_proj, test_m, val_m
+        if improved_strictly:
             epochs_without_improvement = 0
         else:
             epochs_without_improvement += 1

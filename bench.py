@@ -483,7 +483,11 @@ def _ensure_stage1_fixture(n_tars=17, per_tar=2048):
         if os.path.exists(path):
             continue
         rng = np.random.default_rng(s)
-        with tarfile.open(path, "w") as tf:
+        # write to a temp name and rename into place: a run killed
+        # mid-write (inner timeout / watchdog exit) must not leave a
+        # truncated tar that every later run trusts as complete
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with tarfile.open(tmp, "w") as tf:
             for i in range(per_tar):
                 gid = s * per_tar + i
                 w, h = int(rng.integers(256, 512)), int(rng.integers(256, 512))
@@ -500,6 +504,7 @@ def _ensure_stage1_fixture(n_tars=17, per_tar=2048):
                 tt = tarfile.TarInfo(f"{gid:09d}.txt")
                 tt.size = len(txt)
                 tf.addfile(tt, _io.BytesIO(txt))
+        os.replace(tmp, path)
     return STAGE1_FIXTURE
 
 
@@ -912,6 +917,22 @@ _METRIC_JSON_NAME = {
 
 
 def _pick_metric(argv):
+    """Resolve the requested metric from argv. Accepts `--metric NAME`,
+    `--metric=NAME`, and (legacy) a bare NAME token; an explicit
+    --metric with an unknown name is an error rather than a silent
+    fall-through to the headline metric."""
+    for i, tok in enumerate(argv):
+        name = None
+        if tok == "--metric" and i + 1 < len(argv):
+            name = argv[i + 1]
+        elif tok.startswith("--metric="):
+            name = tok.split("=", 1)[1]
+        if name is not None:
+            if name not in _METRIC_FNS:
+                raise SystemExit(
+                    f"bench.py: unknown metric {name!r} "
+                    f"(choose from {sorted(_METRIC_FNS)})")
+            return name
     for key in _METRIC_FNS:
         if key in argv:
             return key

@@ -67,9 +67,15 @@ long bvt_tar_index(const char* path, BvtTarEntry** out) {
     if (typeflag == '0' || typeflag == 0) {  // regular file
       BvtTarEntry e;
       memset(&e, 0, sizeof(e));
-      // POSIX ustar: prefix (345, 155 bytes) + name (0, 100 bytes)
-      char name[256] = {0};
-      if (hdr[345]) {
+      // POSIX ustar: prefix (345, 155 bytes) + name (0, 100 bytes).
+      // The prefix field is only meaningful under the exact POSIX
+      // magic "ustar\0" — GNU-format tars put atime there, which would
+      // garble every name. Buffer is 257 bytes: 155 prefix + '/' +
+      // 100 name + NUL (the old 256 overflowed by one at max lengths).
+      char name[257] = {0};
+      bool posix_ustar =
+          memcmp(hdr + 257, "ustar", 5) == 0 && hdr[262] == 0;
+      if (posix_ustar && hdr[345]) {
         size_t pl = strnlen((const char*)hdr + 345, 155);
         memcpy(name, hdr + 345, pl);
         name[pl] = '/';
@@ -159,11 +165,17 @@ static inline void bilinear(const uint8_t* src, int sw, int sh, float x,
   x = std::max(0.0f, std::min(x, (float)sw - 1.001f));
   y = std::max(0.0f, std::min(y, (float)sh - 1.001f));
   int x0 = (int)x, y0 = (int)y;
+  // clamp the +1 neighbors: for 1-pixel-wide/tall sources the clamp
+  // above still yields x0/y0 == 0, and an unconditional +1 would read
+  // past the decoded buffer (heap over-read); for sw/sh >= 2 the
+  // clamped index equals the old unconditional one
+  int x1 = std::min(x0 + 1, sw - 1);
+  int y1 = std::min(y0 + 1, sh - 1);
   float fx = x - x0, fy = y - y0;
   const uint8_t* p00 = src + ((size_t)y0 * sw + x0) * 3;
-  const uint8_t* p01 = p00 + 3;
-  const uint8_t* p10 = p00 + (size_t)sw * 3;
-  const uint8_t* p11 = p10 + 3;
+  const uint8_t* p01 = src + ((size_t)y0 * sw + x1) * 3;
+  const uint8_t* p10 = src + ((size_t)y1 * sw + x0) * 3;
+  const uint8_t* p11 = src + ((size_t)y1 * sw + x1) * 3;
   for (int c = 0; c < 3; ++c) {
     float a = p00[c] + (p01[c] - p00[c]) * fx;
     float b = p10[c] + (p11[c] - p10[c]) * fx;

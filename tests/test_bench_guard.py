@@ -38,6 +38,15 @@ def test_pick_metric(bench):
     assert bench._pick_metric([]) == "headline"
     assert bench._pick_metric(["--metric", "hessian"]) == "hessian"
     assert bench._pick_metric(["--metric", "stage1", "--inner"]) == "stage1"
+    # the common equals-form must resolve, not silently fall back to
+    # the headline metric
+    assert bench._pick_metric(["--metric=epig"]) == "epig"
+    # an explicit --metric with an unknown name is an error, never a
+    # mislabeled headline run
+    with pytest.raises(SystemExit, match="unknown metric"):
+        bench._pick_metric(["--metric", "hesian"])
+    with pytest.raises(SystemExit, match="unknown metric"):
+        bench._pick_metric(["--metric=serving"])
     # every dispatchable metric has a JSON-name for the error line
     assert set(bench._METRIC_FNS) == set(bench._METRIC_JSON_NAME)
 

@@ -40,6 +40,63 @@ def test_tar_index_matches_tarfile(tmp_path):
         assert native_io.read_member(path, offset, size) == payloads[name]
 
 
+def test_decode_batch_degenerate_1px_sources():
+    """1-pixel-wide/tall JPEGs (real in LAION-style web data: banner
+    strips) must decode without reading past the RGB buffer — the +1
+    bilinear neighbors clamp to the edge (heap over-read regression)."""
+    jpegs = [
+        _jpeg_bytes(500, 1, (200, 30, 120)),
+        _jpeg_bytes(1, 300, (10, 220, 40)),
+        _jpeg_bytes(1, 1, (90, 90, 90)),
+    ]
+    out, status = native_io.decode_batch(
+        jpegs, size=32, mean=DEFAULT_MEAN, std=DEFAULT_STD, num_threads=2)
+    assert list(status) == [0, 0, 0]
+    assert np.isfinite(out).all()
+    # a constant-color source must stay (near-)constant through resize
+    spread = out[2].max(axis=(0, 1)) - out[2].min(axis=(0, 1))
+    assert float(np.max(spread)) < 1e-4
+
+
+def test_tar_index_ustar_prefix_and_gnu_magic(tmp_path):
+    """The 155-byte ustar prefix field must be honored only under the
+    POSIX magic: (a) long paths split into prefix+name re-join; (b) a
+    GNU-magic header with junk where ustar keeps the prefix (GNU atime)
+    must NOT get a garbage prefix prepended; (c) max-length prefix+name
+    must not smash the stack (the 256-byte buffer regression)."""
+    # (a)+(c): USTAR_FORMAT splits >100-char paths into prefix/name
+    deep = "/".join(["d" * 38] * 4)  # 38*4+3 = 155-char prefix at the max
+    longname = deep + "/" + "f" * 96 + ".txt"  # 100-char name at the max
+    path = tmp_path / "prefix.tar"
+    with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(name=longname)
+        data = b"deep payload"
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    entries = native_io.tar_index(path)
+    # e.name caps at 256 bytes (255 chars + NUL): the joined path is
+    # reconstructed up to that limit
+    assert len(entries) == 1
+    assert entries[0][0] == longname[:255]
+    assert native_io.read_member(path, entries[0][1], entries[0][2]) == data
+
+    # (b): hand-crafted GNU-format header (magic "ustar  ") with octal
+    # junk in the prefix/atime region
+    gnu = bytearray(512)
+    gnu[0:5] = b"x.txt"
+    gnu[124:135] = b"00000000005"  # size 5
+    gnu[156] = ord("0")            # regular file
+    gnu[257:265] = b"ustar  \x00"  # GNU magic+version
+    gnu[345:356] = b"12345670123"  # atime octal junk (ustar: prefix)
+    blob = bytes(gnu) + b"hello" + b"\x00" * (512 - 5) + b"\x00" * 1024
+    gpath = tmp_path / "gnu.tar"
+    gpath.write_bytes(blob)
+    gentries = native_io.tar_index(gpath)
+    assert len(gentries) == 1
+    assert gentries[0][0] == "x.txt"
+    assert native_io.read_member(gpath, gentries[0][1], gentries[0][2]) == b"hello"
+
+
 def test_decode_batch_matches_pil():
     jpegs = [
         _jpeg_bytes(100, 60, (200, 30, 120)),
