@@ -1,0 +1,285 @@
+"""Dynamic micro-batching server for low-latency probabilistic serving.
+
+The reference exposes inference only through batch scripts
+(ref:scripts/zeroshot.py:25-128) — there is no online-serving component
+anywhere in the repo. This module is the TPU-native production lane on
+top of `pipeline.ProbabilisticVLM.compile_serving`: a single dispatcher
+thread owns the device, concurrent callers enqueue one image each, and
+the dispatcher coalesces them into fixed-shape batches for the
+AOT-compiled fused program (one XLA dispatch per batch, donated pixel
+buffer, probit softmax on device — semantics of
+ref:scripts/zeroshot.py:119-120).
+
+Why a single dispatcher thread: JAX dispatch is not free-threaded, the
+axon tunnel serializes device access anyway, and the AOT executable has
+ONE compiled signature — so the natural design is N request threads ->
+queue -> 1 device thread, exactly like a production TPU serving binary.
+Partial batches (a lone request after `max_wait_ms`) are padded to the
+compiled batch size with a repeat of the last row; padded rows are
+sliced off before futures resolve, so callers never observe padding.
+
+    vlm = ProbabilisticVLM.from_pretrained(...).set_class_prompts(classes)
+    server = BatchingServer(vlm, batch_size=8, max_wait_ms=3.0)
+    server.start()
+    fut = server.submit(image)          # concurrent.futures.Future
+    probs = fut.result()                # [C] calibrated probabilities
+    probs = server.predict(image)       # sync convenience
+    server.stop(drain=True)
+
+`scripts/serve.py` wraps this in an HTTP front end.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["BatchingServer", "ServerStats"]
+
+_STOP = object()  # queue sentinel: dispatcher exits after seeing it
+
+
+@dataclass
+class ServerStats:
+    """Counters since start(); fill = served rows / dispatched rows."""
+
+    requests: int = 0
+    batches: int = 0
+    padded_rows: int = 0
+    errors: int = 0
+    queue_depth: int = 0
+    fill: float = 1.0
+    latency_ms_p50: float = 0.0
+    latency_ms_p95: float = 0.0
+    latency_ms_max: float = 0.0
+
+
+class _Request:
+    __slots__ = ("image", "future", "t_enqueue")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.future: Future = Future()
+        self.t_enqueue = time.monotonic()
+
+
+class BatchingServer:
+    """Coalesce concurrent single-image requests into AOT-served batches.
+
+    Parameters
+    ----------
+    vlm : ProbabilisticVLM with class prompts set. If its serving
+        program is missing or compiled for a different batch size /
+        dtype, `compile_serving(batch_size, input_dtype)` is run here.
+    batch_size : compiled (maximum) batch per dispatch. On a >1-device
+        mesh it must divide over the data axis (compile_serving checks).
+    max_wait_ms : how long the dispatcher holds an open batch after the
+        FIRST request arrives before dispatching it partially filled.
+        Lower = better tail latency at low load; higher = better fill
+        (throughput) under load. 0 dispatches whatever a single drain
+        of the queue yields.
+    input_dtype : dtype the program is compiled for. uint8 compiles the
+        /255 + normalize lane into the graph (raw-camera ingestion:
+        4x less host->device traffic than float32).
+    max_queue : backpressure bound; submit() raises queue.Full beyond it.
+    """
+
+    def __init__(self, vlm, batch_size: int, max_wait_ms: float = 5.0,
+                 input_dtype=None, max_queue: int = 1024):
+        import jax.numpy as jnp
+
+        if input_dtype is None:
+            input_dtype = jnp.float32
+        srv = vlm._serving
+        if (srv is None or srv["shape"][0] != batch_size
+                or srv["dtype"] != np.dtype(input_dtype)):
+            vlm.compile_serving(batch_size, input_dtype=input_dtype)
+        self.vlm = vlm
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._shape = vlm._serving["shape"][1:]  # (H, W, 3)
+        self._dtype = np.dtype(vlm._serving["dtype"])
+        self._queue: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._thread: Optional[threading.Thread] = None
+        self._accepting = False
+        self._lock = threading.Lock()
+        self._lat_ring = np.zeros(1024, np.float64)
+        self._lat_n = 0
+        self._stats = ServerStats()
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> "BatchingServer":
+        with self._lock:
+            if self._thread is not None:
+                raise RuntimeError("server already started")
+            self._accepting = True
+            self._thread = threading.Thread(
+                target=self._dispatch_loop, name="bvt-serve-dispatch",
+                daemon=True,
+            )
+            self._thread.start()
+        return self
+
+    def stop(self, drain: bool = True, timeout: Optional[float] = 30.0):
+        """Stop accepting; drain=True serves queued requests first,
+        drain=False fails them with RuntimeError."""
+        with self._lock:
+            thread = self._thread
+            if thread is None:
+                return
+            self._accepting = False
+            self._thread = None
+        if not drain:
+            failed = []
+            try:
+                while True:
+                    item = self._queue.get_nowait()
+                    if item is not _STOP:
+                        failed.append(item)
+            except queue.Empty:
+                pass
+            for req in failed:
+                req.future.set_exception(
+                    RuntimeError("server stopped without draining"))
+        self._queue.put(_STOP)
+        thread.join(timeout=timeout)
+
+    def __enter__(self) -> "BatchingServer":
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop(drain=True)
+
+    # -- request path -----------------------------------------------------
+
+    def _coerce(self, image) -> np.ndarray:
+        """Validate/convert ONE image to the compiled [H, W, 3] row.
+        Runs on the caller's thread (PIL decode + resize off the
+        dispatcher's critical path)."""
+        if not isinstance(image, np.ndarray) and not hasattr(image, "shape"):
+            if self.vlm.transform is None:
+                raise ValueError("PIL inputs need a transform; construct "
+                                 "the VLM via from_pretrained")
+            image = np.asarray(self.vlm.transform(image))
+        image = np.asarray(image)
+        if tuple(image.shape) != self._shape:
+            raise ValueError(
+                f"image shape {tuple(image.shape)} != compiled {self._shape}")
+        if image.dtype != self._dtype:
+            want_float = np.issubdtype(self._dtype, np.floating)
+            have_float = np.issubdtype(image.dtype, np.floating)
+            if not (want_float and have_float):
+                # uint8<->float coercion would skip (or fake) the
+                # in-graph normalize lane — same guard as _predict_fast
+                raise ValueError(
+                    f"image dtype {image.dtype} incompatible with the "
+                    f"{self._dtype}-compiled program")
+            image = image.astype(self._dtype)
+        return image
+
+    def submit(self, image) -> Future:
+        """Enqueue one [H, W, 3] image (or PIL); resolves to [C] probs."""
+        req = _Request(self._coerce(image))
+        with self._lock:
+            if not self._accepting:
+                raise RuntimeError("server not accepting (call start())")
+        self._queue.put_nowait(req)  # queue.Full = backpressure signal
+        with self._lock:
+            self._stats.requests += 1
+        return req.future
+
+    def submit_many(self, images: Sequence) -> list:
+        return [self.submit(im) for im in images]
+
+    def predict(self, image, timeout: Optional[float] = None) -> np.ndarray:
+        return self.submit(image).result(timeout=timeout)
+
+    # -- dispatcher -------------------------------------------------------
+
+    def _collect(self) -> Optional[list]:
+        """Block for the first request, then hold the batch open up to
+        max_wait_s (or until full). None -> stop sentinel seen."""
+        item = self._queue.get()
+        if item is _STOP:
+            return None
+        batch = [item]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+            else:
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+            if item is _STOP:
+                # serve what we have, then exit: re-plant the sentinel
+                self._queue.put(_STOP)
+                break
+            batch.append(item)
+        return batch
+
+    def _dispatch_loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            self._run(batch)
+
+    def _run(self, batch: list):
+        n = len(batch)
+        pixels = np.stack([r.image for r in batch])
+        if n < self.batch_size:
+            pad = np.broadcast_to(
+                pixels[-1:], (self.batch_size - n, *self._shape))
+            pixels = np.concatenate([pixels, pad])
+        try:
+            # public predict(): hits the AOT fast path on signature
+            # match, and still serves correctly through the general
+            # path if a runtime change (e.g. quant-cache swap) forced
+            # a fallback
+            probs = np.asarray(self.vlm.predict(pixels))
+        except Exception as exc:  # noqa: BLE001 — propagate to callers
+            with self._lock:
+                self._stats.errors += n
+            for req in batch:
+                req.future.set_exception(exc)
+            return
+        now = time.monotonic()
+        with self._lock:
+            s = self._stats
+            s.batches += 1
+            s.padded_rows += self.batch_size - n
+            for req in batch:
+                self._lat_ring[self._lat_n % self._lat_ring.size] = (
+                    now - req.t_enqueue) * 1000.0
+                self._lat_n += 1
+        for i, req in enumerate(batch):
+            req.future.set_result(probs[i])
+
+    # -- observability ----------------------------------------------------
+
+    def stats(self) -> ServerStats:
+        with self._lock:
+            s = ServerStats(**vars(self._stats))
+            s.queue_depth = self._queue.qsize()
+            served = s.batches * self.batch_size
+            s.fill = (served - s.padded_rows) / served if served else 1.0
+            k = min(self._lat_n, self._lat_ring.size)
+            if k:
+                lat = np.sort(self._lat_ring[:k])
+                s.latency_ms_p50 = float(lat[int(0.50 * (k - 1))])
+                s.latency_ms_p95 = float(lat[int(0.95 * (k - 1))])
+                s.latency_ms_max = float(lat[-1])
+        return s

@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""HTTP serving front end for probabilistic zero-shot inference.
+
+No reference counterpart — the reference is batch scripts only
+(ref:scripts/zeroshot.py:25-128); this is the TPU-native online-serving
+lane: `bayesvlm_tpu.serve.BatchingServer` (dynamic micro-batching into
+the AOT-compiled fused predict program) behind a stdlib
+ThreadingHTTPServer. Zero extra dependencies.
+
+Endpoints
+---------
+POST /predict
+    application/octet-stream: raw image bytes + headers
+        X-Image-Shape: "224,224,3"   (row-major, channels-last)
+        X-Image-Dtype: "float32" | "uint8"
+    application/json: {"image": [[[...]]]}  (nested lists)
+    -> {"probs": [...], "class": <argmax>, "latency_ms": ...}
+POST /class_prompts
+    {"prompts": ["a photo of a cat", ...]}  — swaps the label set
+    (drains in-flight requests, re-encodes prompts, recompiles if the
+    class count changed).
+GET /healthz   -> {"ok": true, ...compiled signature...}
+GET /stats     -> BatchingServer counters (fill, p50/p95 latency, ...)
+
+Example
+-------
+  python scripts/serve.py --model_str clip-base --hessian_dir hessians/... \
+      --weights_dir weights/clip-base --port 8000 --batch_size 8
+  curl -X POST localhost:8000/predict -H 'Content-Type: application/octet-stream' \
+      -H 'X-Image-Shape: 224,224,3' -H 'X-Image-Dtype: uint8' \
+      --data-binary @image.raw
+"""
+
+import argparse
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+class ServingApp:
+    """Owns the VLM + BatchingServer; serializes label-set swaps."""
+
+    def __init__(self, vlm, batch_size: int, max_wait_ms: float,
+                 input_dtype: str):
+        import jax.numpy as jnp
+
+        from bayesvlm_tpu.serve import BatchingServer
+
+        self._dtype = {"float32": jnp.float32, "uint8": jnp.uint8}[input_dtype]
+        self._make = lambda: BatchingServer(
+            vlm, batch_size, max_wait_ms=max_wait_ms,
+            input_dtype=self._dtype,
+        )
+        self.vlm = vlm
+        self.verbose = False
+        self.server = self._make().start()
+        self._swap_lock = threading.Lock()
+
+    def predict(self, image: np.ndarray) -> np.ndarray:
+        return self.server.predict(image)
+
+    def set_class_prompts(self, prompts):
+        """Drain, swap labels (recompile happens inside BatchingServer
+        if the class count invalidated the AOT program), restart."""
+        with self._swap_lock:
+            self.server.stop(drain=True)
+            self.vlm.set_class_prompts(prompts)
+            self.server = self._make().start()
+
+    def signature(self) -> dict:
+        b = self.server
+        return {
+            "ok": True,
+            "batch_size": b.batch_size,
+            "image_shape": list(b._shape),
+            "input_dtype": str(np.dtype(b._dtype)),
+            "max_wait_ms": b.max_wait_s * 1000.0,
+        }
+
+
+def _parse_image(handler: BaseHTTPRequestHandler) -> np.ndarray:
+    length = int(handler.headers.get("Content-Length", 0))
+    body = handler.rfile.read(length)
+    ctype = handler.headers.get("Content-Type", "")
+    if ctype.startswith("application/octet-stream"):
+        shape = tuple(
+            int(x) for x in handler.headers["X-Image-Shape"].split(","))
+        dtype = np.dtype(handler.headers.get("X-Image-Dtype", "float32"))
+        arr = np.frombuffer(body, dtype=dtype)
+        if arr.size != int(np.prod(shape)):
+            raise ValueError(
+                f"payload has {arr.size} elements, shape {shape} needs "
+                f"{int(np.prod(shape))}")
+        return arr.reshape(shape)
+    payload = json.loads(body)
+    return np.asarray(payload["image"], dtype=np.float32)
+
+
+def make_handler(app: ServingApp):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; --verbose restores BaseHTTPRequestHandler logs
+        def log_message(self, fmt, *args):  # noqa: D102
+            if app.verbose:
+                super().log_message(fmt, *args)
+
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib casing)
+            if self.path == "/healthz":
+                self._send(200, app.signature())
+            elif self.path == "/stats":
+                self._send(200, vars(app.server.stats()))
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            import time
+
+            try:
+                if self.path == "/predict":
+                    t0 = time.monotonic()
+                    probs = app.predict(_parse_image(self))
+                    self._send(200, {
+                        "probs": np.asarray(probs, np.float64).tolist(),
+                        "class": int(np.argmax(probs)),
+                        "latency_ms": (time.monotonic() - t0) * 1000.0,
+                    })
+                elif self.path == "/class_prompts":
+                    length = int(self.headers.get("Content-Length", 0))
+                    prompts = json.loads(self.rfile.read(length))["prompts"]
+                    app.set_class_prompts(prompts)
+                    self._send(200, {"ok": True, "num_classes": len(prompts)})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except Exception as exc:  # noqa: BLE001 — client-visible error
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def build_app(args) -> ServingApp:
+    from bayesvlm_tpu.pipeline import ProbabilisticVLM
+    from bayesvlm_tpu.utils import apply_device_flag
+
+    apply_device_flag(args.device)
+
+    vlm = ProbabilisticVLM.from_pretrained(
+        args.model_str, args.hessian_dir,
+        weights_dir=args.weights_dir, tokenizer_dir=args.tokenizer_dir,
+        dtype=args.dtype, mesh="auto" if args.use_mesh else None,
+        mlp_int8=args.mlp_int8,
+    )
+    prompts = [args.text_prompt.format(class_name=c)
+               for c in json.loads(Path(args.classes_json).read_text())]
+    vlm.set_class_prompts(prompts)
+    app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
+                     args.input_dtype)
+    app.verbose = args.verbose
+    return app
+
+
+def main(args) -> None:
+    app = build_app(args)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(app))
+    print(f"serving on {args.host}:{httpd.server_address[1]} "
+          f"(batch_size={args.batch_size}, wait={args.max_wait_ms}ms, "
+          f"dtype={args.input_dtype})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        app.server.stop(drain=False)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--model_str", default="clip-base")
+    p.add_argument("--hessian_dir", required=True)
+    p.add_argument("--weights_dir", default=None)
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--classes_json", required=True,
+                   help="JSON list of class names")
+    p.add_argument("--text_prompt", default="An image of a {class_name}")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--input_dtype", choices=["float32", "uint8"],
+                   default="float32")
+    p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--no_mesh", dest="use_mesh", action="store_false")
+    p.add_argument("--mlp_int8", action="store_true")
+    p.add_argument("--device", type=str, default="tpu",
+                   help="'cpu' forces the CPU platform; anything else "
+                        "keeps default resolution (TPU when present)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())
