@@ -150,6 +150,23 @@ class BatchingServer:
                     RuntimeError("server stopped without draining"))
         self._queue.put(_STOP)
         thread.join(timeout=timeout)
+        if not thread.is_alive():
+            # A submit() that read _accepting=True concurrently with this
+            # stop() can land its request BEHIND the sentinel, after the
+            # dispatcher already exited. Fail such strays explicitly —
+            # otherwise their futures never resolve and the caller (e.g.
+            # an HTTP handler thread) blocks forever.
+            strays = []
+            try:
+                while True:
+                    item = self._queue.get_nowait()
+                    if item is not _STOP:
+                        strays.append(item)
+            except queue.Empty:
+                pass
+            for req in strays:
+                req.future.set_exception(RuntimeError(
+                    "request raced a server stop and was never dispatched"))
 
     def __enter__(self) -> "BatchingServer":
         return self.start()

@@ -174,6 +174,30 @@ def test_stop_without_drain_fails_queued(vlm, monkeypatch):
         assert f.result().shape == (len(PROMPTS),)
 
 
+def test_request_behind_stop_sentinel_is_failed(vlm):
+    """A submit() racing stop() can enqueue its request BEHIND the stop
+    sentinel (after the accepting check but after the sentinel landed);
+    stop() must fail such strays instead of leaving their futures
+    forever unresolved. Simulated deterministically by injecting the
+    stray right after the sentinel is planted."""
+    import bayesvlm_tpu.serve as serve_mod
+
+    srv = BatchingServer(vlm, batch_size=2, max_wait_ms=0.0).start()
+    stray = serve_mod._Request(_images(n=1, seed=13)[0])
+    real_put = srv._queue.put
+
+    def put_with_stray(item):
+        real_put(item)
+        if item is serve_mod._STOP:
+            real_put(stray)
+
+    srv._queue.put = put_with_stray
+    srv.stop(drain=True)
+    exc = stray.future.exception(timeout=5)
+    assert isinstance(exc, RuntimeError)
+    assert "raced a server stop" in str(exc)
+
+
 def test_dispatch_error_propagates_to_batch(vlm, monkeypatch):
     def boom(pixels, **kw):
         raise RuntimeError("injected device failure")
