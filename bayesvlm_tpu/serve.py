@@ -34,7 +34,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -43,6 +43,14 @@ import numpy as np
 __all__ = ["BatchingServer", "ServerStats"]
 
 _STOP = object()  # queue sentinel: dispatcher exits after seeing it
+
+
+def _fail(future: Future, exc: BaseException) -> None:
+    """set_exception tolerating futures already cancelled by the caller."""
+    try:
+        future.set_exception(exc)
+    except InvalidStateError:
+        pass
 
 
 @dataclass
@@ -127,13 +135,19 @@ class BatchingServer:
             self._thread.start()
         return self
 
-    def stop(self, drain: bool = True, timeout: Optional[float] = 30.0):
+    def stop(self, drain: bool = True,
+             timeout: Optional[float] = 30.0) -> bool:
         """Stop accepting; drain=True serves queued requests first,
-        drain=False fails them with RuntimeError."""
+        drain=False fails them with RuntimeError. Returns True once the
+        dispatcher has actually exited; False means the join timed out
+        and in-flight work may still be executing (callers that mutate
+        shared VLM state afterwards — e.g. a label swap — must treat
+        False as "do not proceed", or pass timeout=None to block until
+        exit)."""
         with self._lock:
             thread = self._thread
             if thread is None:
-                return
+                return True
             self._accepting = False
             self._thread = None
         if not drain:
@@ -146,16 +160,14 @@ class BatchingServer:
             except queue.Empty:
                 pass
             for req in failed:
-                req.future.set_exception(
-                    RuntimeError("server stopped without draining"))
+                _fail(req.future,
+                      RuntimeError("server stopped without draining"))
         self._queue.put(_STOP)
         thread.join(timeout=timeout)
         if not thread.is_alive():
-            # A submit() that read _accepting=True concurrently with this
-            # stop() can land its request BEHIND the sentinel, after the
-            # dispatcher already exited. Fail such strays explicitly —
-            # otherwise their futures never resolve and the caller (e.g.
-            # an HTTP handler thread) blocks forever.
+            # submit() enqueues under the same lock as its _accepting
+            # check, so no request can land behind the sentinel anymore;
+            # this sweep is defense-in-depth (e.g. an external put).
             strays = []
             try:
                 while True:
@@ -165,8 +177,10 @@ class BatchingServer:
             except queue.Empty:
                 pass
             for req in strays:
-                req.future.set_exception(RuntimeError(
+                _fail(req.future, RuntimeError(
                     "request raced a server stop and was never dispatched"))
+            return True
+        return False
 
     def __enter__(self) -> "BatchingServer":
         return self.start()
@@ -205,10 +219,13 @@ class BatchingServer:
         """Enqueue one [H, W, 3] image (or PIL); resolves to [C] probs."""
         req = _Request(self._coerce(image))
         with self._lock:
+            # The enqueue must share the lock with the _accepting check:
+            # stop() flips _accepting under the same lock BEFORE planting
+            # the sentinel, so any submit that passes the check is
+            # guaranteed to land ahead of the sentinel and be served.
             if not self._accepting:
                 raise RuntimeError("server not accepting (call start())")
-        self._queue.put_nowait(req)  # queue.Full = backpressure signal
-        with self._lock:
+            self._queue.put_nowait(req)  # queue.Full = backpressure signal
             self._stats.requests += 1
         return req.future
 
@@ -249,19 +266,33 @@ class BatchingServer:
 
     def _dispatch_loop(self):
         while True:
-            batch = self._collect()
-            if batch is None:
-                return
-            self._run(batch)
+            try:
+                batch = self._collect()
+                if batch is None:
+                    return
+                self._run(batch)
+            except Exception:  # noqa: BLE001 — the dispatcher must NOT die:
+                # a dead dispatcher with _accepting still True would hang
+                # every future request forever. _run fails its own batch's
+                # futures; anything escaping to here is a bug in the
+                # resolution path itself — count it and keep serving.
+                with self._lock:
+                    self._stats.errors += 1
 
     def _run(self, batch: list):
-        n = len(batch)
-        pixels = np.stack([r.image for r in batch])
-        if n < self.batch_size:
-            pad = np.broadcast_to(
-                pixels[-1:], (self.batch_size - n, *self._shape))
-            pixels = np.concatenate([pixels, pad])
+        # Claim each future (RUNNING) so a caller-side cancel() can no
+        # longer win the race and make set_result raise InvalidStateError;
+        # already-cancelled requests are dropped before wasting a row.
+        live = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        n = len(live)
+        if not n:
+            return
         try:
+            pixels = np.stack([r.image for r in live])
+            if n < self.batch_size:
+                pad = np.broadcast_to(
+                    pixels[-1:], (self.batch_size - n, *self._shape))
+                pixels = np.concatenate([pixels, pad])
             # public predict(): hits the AOT fast path on signature
             # match, and still serves correctly through the general
             # path if a runtime change (e.g. quant-cache swap) forced
@@ -270,22 +301,34 @@ class BatchingServer:
         except Exception as exc:  # noqa: BLE001 — propagate to callers
             with self._lock:
                 self._stats.errors += n
-            for req in batch:
-                req.future.set_exception(exc)
+            for req in live:
+                _fail(req.future, exc)
             return
         now = time.monotonic()
         with self._lock:
             s = self._stats
             s.batches += 1
             s.padded_rows += self.batch_size - n
-            for req in batch:
+            for req in live:
                 self._lat_ring[self._lat_n % self._lat_ring.size] = (
                     now - req.t_enqueue) * 1000.0
                 self._lat_n += 1
-        for i, req in enumerate(batch):
-            req.future.set_result(probs[i])
+        for i, req in enumerate(live):
+            try:
+                req.future.set_result(probs[i])
+            except InvalidStateError:  # defensive: claimed above
+                pass
 
     # -- observability ----------------------------------------------------
+
+    def signature(self) -> dict:
+        """Public compiled-signature view (what /healthz reports)."""
+        return {
+            "batch_size": self.batch_size,
+            "image_shape": list(self._shape),
+            "input_dtype": str(self._dtype),
+            "max_wait_ms": self.max_wait_s * 1000.0,
+        }
 
     def stats(self) -> ServerStats:
         with self._lock:

@@ -47,7 +47,7 @@ class ServingApp:
     """Owns the VLM + BatchingServer; serializes label-set swaps."""
 
     def __init__(self, vlm, batch_size: int, max_wait_ms: float,
-                 input_dtype: str):
+                 input_dtype: str, predict_timeout_s: float = 120.0):
         import jax.numpy as jnp
 
         from bayesvlm_tpu.serve import BatchingServer
@@ -59,29 +59,44 @@ class ServingApp:
         )
         self.vlm = vlm
         self.verbose = False
+        self.predict_timeout_s = predict_timeout_s
         self.server = self._make().start()
         self._swap_lock = threading.Lock()
 
     def predict(self, image: np.ndarray) -> np.ndarray:
-        return self.server.predict(image)
+        # A request can race a /class_prompts swap into the stopped
+        # window; retry on the replacement server after the swap ends
+        # (waiting on _swap_lock) instead of surfacing a client error.
+        for _ in range(2):
+            try:
+                return self.server.predict(
+                    image, timeout=self.predict_timeout_s)
+            except RuntimeError as exc:
+                if "not accepting" not in str(exc):
+                    raise
+                with self._swap_lock:
+                    pass  # swap (or shutdown) finished; retry once
+        return self.server.predict(image, timeout=self.predict_timeout_s)
 
     def set_class_prompts(self, prompts):
         """Drain, swap labels (recompile happens inside BatchingServer
-        if the class count invalidated the AOT program), restart."""
+        if the class count invalidated the AOT program), restart.
+        timeout=None: never mutate shared VLM state while the old
+        dispatcher might still be mid-predict (a bounded join that
+        expires would do exactly that). Exception-safe: the endpoint
+        comes back up even if the swap itself fails."""
         with self._swap_lock:
-            self.server.stop(drain=True)
-            self.vlm.set_class_prompts(prompts)
-            self.server = self._make().start()
+            self.server.stop(drain=True, timeout=None)
+            try:
+                self.vlm.set_class_prompts(prompts)
+            finally:
+                # restart with whatever labels the VLM now holds (new on
+                # success, old if set_class_prompts raised) so /predict
+                # keeps working either way
+                self.server = self._make().start()
 
     def signature(self) -> dict:
-        b = self.server
-        return {
-            "ok": True,
-            "batch_size": b.batch_size,
-            "image_shape": list(b._shape),
-            "input_dtype": str(np.dtype(b._dtype)),
-            "max_wait_ms": b.max_wait_s * 1000.0,
-        }
+        return {"ok": True, **self.server.signature()}
 
 
 def _parse_image(handler: BaseHTTPRequestHandler) -> np.ndarray:
@@ -111,11 +126,29 @@ def make_handler(app: ServingApp):
 
         def _send(self, code: int, obj: dict):
             body = json.dumps(obj).encode()
+            self._responded = True  # no second status line after this
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        @staticmethod
+        def _status_for(exc: Exception) -> int:
+            """Client errors -> 4xx, server faults -> 5xx (so clients and
+            load balancers retry the right things)."""
+            import concurrent.futures
+            import queue as queue_mod
+
+            if isinstance(exc, queue_mod.Full):
+                return 429  # backpressure: retry later
+            if isinstance(exc, concurrent.futures.TimeoutError):
+                return 504  # device did not answer within predict_timeout_s
+            if isinstance(exc, (ValueError, KeyError, TypeError)):
+                return 400  # malformed request (shape/dtype/JSON)
+            if isinstance(exc, RuntimeError) and "not accepting" in str(exc):
+                return 503  # shutting down / mid-swap
+            return 500
 
         def do_GET(self):  # noqa: N802 (stdlib casing)
             if self.path == "/healthz":
@@ -128,6 +161,7 @@ def make_handler(app: ServingApp):
         def do_POST(self):  # noqa: N802
             import time
 
+            self._responded = False
             try:
                 if self.path == "/predict":
                     t0 = time.monotonic()
@@ -145,7 +179,14 @@ def make_handler(app: ServingApp):
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except Exception as exc:  # noqa: BLE001 — client-visible error
-                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+                if self._responded:
+                    # failure mid-write (e.g. client hung up): the status
+                    # line is already on the wire — never write a second
+                    # response onto a half-written stream
+                    self.close_connection = True
+                    return
+                self._send(self._status_for(exc),
+                           {"error": f"{type(exc).__name__}: {exc}"})
 
     return Handler
 
@@ -166,7 +207,8 @@ def build_app(args) -> ServingApp:
                for c in json.loads(Path(args.classes_json).read_text())]
     vlm.set_class_prompts(prompts)
     app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
-                     args.input_dtype)
+                     args.input_dtype,
+                     predict_timeout_s=args.predict_timeout_s)
     app.verbose = args.verbose
     return app
 
@@ -205,6 +247,10 @@ def parse_args():
     p.add_argument("--device", type=str, default="tpu",
                    help="'cpu' forces the CPU platform; anything else "
                         "keeps default resolution (TPU when present)")
+    p.add_argument("--predict_timeout_s", type=float, default=120.0,
+                   help="bound on a single request's wait for its batch "
+                        "result; expiry returns HTTP 504 instead of "
+                        "leaking a blocked handler thread")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--verbose", action="store_true")

@@ -159,19 +159,23 @@ def test_stop_without_drain_fails_queued(vlm, monkeypatch):
 
     stopper = threading.Thread(target=srv.stop, kwargs=dict(drain=False))
     stopper.start()
-    time.sleep(0.05)  # let stop() drain the queue
+    # stop(drain=False) fails every queued future BEFORE planting the
+    # sentinel; waiting for them to resolve (instead of a sleep) makes
+    # the ordering deterministic even on a loaded 1-vCPU host
+    deadline = time.monotonic() + 60
+    while (not all(f.done() for f in late)
+           and time.monotonic() < deadline):
+        time.sleep(0.005)
     release.set()
     stopper.join(timeout=60)
     assert not stopper.is_alive()
 
     assert first.result(timeout=60).shape == (len(PROMPTS),)
-    failed = [f for f in late if f.exception(timeout=60) is not None]
-    served = [f for f in late if f not in failed]
-    assert failed, "queued requests must be failed by a no-drain stop"
-    for f in failed:
-        assert "without draining" in str(f.exception())
-    for f in served:  # raced into the in-flight window: still correct
-        assert f.result().shape == (len(PROMPTS),)
+    assert all(f.done() for f in late)
+    for f in late:
+        exc = f.exception()
+        assert exc is not None, "queued requests must fail on no-drain stop"
+        assert "without draining" in str(exc)
 
 
 def test_request_behind_stop_sentinel_is_failed(vlm):
@@ -332,3 +336,145 @@ def test_http_class_prompt_swap(http_server, reference_predict):
         body=json.dumps({"prompts": PROMPTS}).encode(),
         headers={"Content-Type": "application/json"})
     assert status == 200 and out["num_classes"] == 4
+
+
+def test_cancelled_request_is_skipped_and_dispatcher_survives(
+        vlm, monkeypatch):
+    """A caller-side fut.cancel() on a queued request must neither kill
+    the dispatcher (InvalidStateError on set_result) nor consume a batch
+    row; everything else in the batch still resolves."""
+    entered, release = threading.Event(), threading.Event()
+    real_predict = vlm.predict
+
+    def gated(pixels, **kw):
+        entered.set()
+        assert release.wait(timeout=60)
+        return real_predict(pixels, **kw)
+
+    monkeypatch.setattr(vlm, "predict", gated)
+    srv = BatchingServer(vlm, batch_size=4, max_wait_ms=0.0).start()
+    first = srv.submit(_images(n=1, seed=20)[0])
+    assert entered.wait(timeout=60)  # dispatcher is inside predict
+    futs = srv.submit_many(list(_images(n=3, seed=21)))
+    assert futs[1].cancel()  # still queued: cancellable
+    release.set()
+
+    assert first.result(timeout=120).shape == (len(PROMPTS),)
+    assert futs[0].result(timeout=120).shape == (len(PROMPTS),)
+    assert futs[2].result(timeout=120).shape == (len(PROMPTS),)
+    assert futs[1].cancelled()
+    # the dispatcher survived the cancelled future: new work is served
+    assert srv.predict(_images(n=1, seed=22)[0],
+                       timeout=120).shape == (len(PROMPTS),)
+    srv.stop(drain=True)
+
+
+def test_stop_reports_dispatcher_exit(vlm, monkeypatch):
+    """stop() returns False when the join times out with the dispatcher
+    still mid-predict (callers must not mutate shared VLM state then),
+    True once it has actually exited."""
+    entered, release = threading.Event(), threading.Event()
+    real_predict = vlm.predict
+
+    def gated(pixels, **kw):
+        entered.set()
+        assert release.wait(timeout=60)
+        return real_predict(pixels, **kw)
+
+    monkeypatch.setattr(vlm, "predict", gated)
+    srv = BatchingServer(vlm, batch_size=2, max_wait_ms=0.0).start()
+    fut = srv.submit(_images(n=1, seed=23)[0])
+    assert entered.wait(timeout=60)
+    assert srv.stop(drain=True, timeout=0.05) is False
+    release.set()
+    assert fut.result(timeout=120).shape == (len(PROMPTS),)
+
+    srv2 = BatchingServer(vlm, batch_size=2, max_wait_ms=0.0).start()
+    assert srv2.stop(drain=True) is True
+
+
+def test_signature_is_public(vlm):
+    srv = BatchingServer(vlm, batch_size=2, max_wait_ms=0.0)
+    sig = srv.signature()
+    assert sig["batch_size"] == 2
+    assert sig["image_shape"] == [32, 32, 3]
+    assert sig["input_dtype"] == "float32"
+    assert sig["max_wait_ms"] == 0.0
+
+
+def test_servingapp_predict_retries_after_swap(vlm, hessian_dir):
+    """A /predict that lands in a label-swap's stopped window must wait
+    out the swap (via _swap_lock) and succeed on the replacement server
+    instead of surfacing 'not accepting' to the client."""
+    mod = _load_serve_script()
+    app = mod.ServingApp(vlm, batch_size=2, max_wait_ms=0.0,
+                         input_dtype="float32")
+    app.server.stop(drain=True)        # the mid-swap stopped window
+    app._swap_lock.acquire()           # swap "in progress"
+    out = {}
+
+    def go():
+        out["probs"] = app.predict(_images(n=1, seed=24)[0])
+
+    t = threading.Thread(target=go)
+    t.start()
+    time.sleep(0.2)  # let the first attempt fail and park on the lock
+    app.server = app._make().start()   # swap completes
+    app._swap_lock.release()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert out["probs"].shape == (len(PROMPTS),)
+    app.server.stop(drain=True)
+
+
+def test_http_error_status_mapping_and_swap_recovery(vlm, monkeypatch):
+    """Server faults map to 5xx (not 400), and a failed label swap
+    leaves the endpoint serving with the old labels."""
+    mod = _load_serve_script()
+    app = mod.ServingApp(vlm, batch_size=2, max_wait_ms=0.0,
+                         input_dtype="float32", predict_timeout_s=30.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), mod.make_handler(app))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    img = _images(n=1, seed=25)[0]
+    img_req = dict(
+        body=img.astype(np.float32).tobytes(),
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Image-Shape": "32,32,3", "X-Image-Dtype": "float32"})
+    try:
+        # client error: bad payload size -> 400
+        status, err = _request(
+            port, "POST", "/predict", body=b"\x00" * 12,
+            headers=img_req["headers"])
+        assert status == 400
+
+        # server fault: injected device failure -> 500
+        def boom(pixels, **kw):
+            raise RuntimeError("injected device failure")
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(vlm, "predict", boom)
+            status, err = _request(port, "POST", "/predict", **img_req)
+            assert status == 500 and "injected" in err["error"]
+
+        # failed swap: endpoint stays alive with the OLD label set
+        def tokenizer_explodes(prompts):
+            raise RuntimeError("tokenizer exploded")
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(app.vlm, "set_class_prompts", tokenizer_explodes)
+            status, err = _request(
+                port, "POST", "/class_prompts",
+                body=json.dumps({"prompts": ["a", "b", "c"]}).encode(),
+                headers={"Content-Type": "application/json"})
+            assert status == 500 and "tokenizer" in err["error"]
+        status, pred = _request(port, "POST", "/predict", **img_req)
+        assert status == 200 and len(pred["probs"]) == len(PROMPTS)
+
+        # shutdown window: 'not accepting' -> 503
+        app.server.stop(drain=True)
+        status, err = _request(port, "POST", "/predict", **img_req)
+        assert status == 503
+    finally:
+        httpd.shutdown()
+        app.server.stop(drain=False)
