@@ -155,11 +155,19 @@ class ProbabilisticVLM:
 
     # -- AOT serving fast path (VERDICT round-2 item 6) ------------------
 
-    def compile_serving(self, batch_size: int,
+    def compile_serving(self, batch_size,
                         input_dtype=jnp.float32) -> "ProbabilisticVLM":
-        """AOT-compile ONE fused XLA program (pixels -> encoder -> Smith
-        head -> probit softmax) for a fixed [batch_size, H, W, 3] input
-        signature, with the pixel buffer donated.
+        """AOT-compile fused XLA programs (pixels -> encoder -> Smith
+        head -> probit softmax) for fixed [B, H, W, 3] input signatures,
+        with the pixel buffer donated.
+
+        `batch_size` may be one int or a sequence of ints: each size gets
+        its own compiled program (XLA requires static shapes, so the
+        TPU-idiomatic answer to variable serving load is a LADDER of
+        programs — a partial batch dispatches to the smallest compiled
+        size that fits instead of padding all the way up; see
+        serve.BatchingServer's `buckets`). A repeat call replaces the
+        whole ladder (sizes + dtype).
 
         Why: the default predict() chain issues several separate jitted
         programs and make_predictions fetches logits to host between the
@@ -188,6 +196,11 @@ class ProbabilisticVLM:
 
         if self._label_features is None:
             raise ValueError("call set_class_prompts before compile_serving")
+        batch_sizes = sorted({int(b) for b in (
+            batch_size if isinstance(batch_size, (list, tuple, set, frozenset))
+            else [batch_size])})
+        if not batch_sizes or batch_sizes[0] < 1:
+            raise ValueError(f"batch sizes must be >= 1, got {batch_sizes}")
         sharded = self.mesh is not None and self.mesh.devices.size > 1
         pix_sharding = rep = None
         if sharded:
@@ -196,10 +209,11 @@ class ProbabilisticVLM:
             mesh = self.mesh
             axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
             n = mesh.shape[axis]
-            if batch_size % n != 0:
+            bad = [b for b in batch_sizes if b % n != 0]
+            if bad:
                 raise ValueError(
                     f"compile_serving on a {n}-way '{axis}' mesh needs "
-                    f"batch_size divisible by {n}, got {batch_size}")
+                    f"batch sizes divisible by {n}, got {bad}")
             pix_sharding = NamedSharding(mesh, P(axis, None, None, None))
             rep = NamedSharding(mesh, P())
             if self.image_encoder.mesh is not mesh:
@@ -216,23 +230,28 @@ class ProbabilisticVLM:
             feats = enc.forward_graph(params, quant, pixels)
             return probabilistic_logits(head, feats, labels).probit_softmax()
 
-        shape = (batch_size, vcfg.image_size, vcfg.image_size, 3)
-        pixel_aval = (
-            jax.ShapeDtypeStruct(shape, input_dtype, sharding=pix_sharding)
-            if sharded else jax.ShapeDtypeStruct(shape, input_dtype)
-        )
-        compiled = (
-            jax.jit(serve, donate_argnums=(4,))
-            .lower(enc.params, enc.quant_vars, self._label_features,
-                   self.head, pixel_aval)
-            .compile()
-        )
+        programs = {}
+        for b in batch_sizes:
+            shape = (b, vcfg.image_size, vcfg.image_size, 3)
+            pixel_aval = (
+                jax.ShapeDtypeStruct(shape, input_dtype,
+                                     sharding=pix_sharding)
+                if sharded else jax.ShapeDtypeStruct(shape, input_dtype)
+            )
+            programs[b] = (
+                jax.jit(serve, donate_argnums=(4,))
+                .lower(enc.params, enc.quant_vars, self._label_features,
+                       self.head, pixel_aval)
+                .compile()
+            )
         self._serving = dict(
-            exe=compiled, shape=shape, dtype=jnp.dtype(input_dtype),
+            programs=programs,
+            image_shape=(vcfg.image_size, vcfg.image_size, 3),
+            dtype=jnp.dtype(input_dtype),
             pix_sharding=pix_sharding, rep=rep,
-            # pytree structure the program was lowered with — checked per
-            # call so a structural change (e.g. the int8 cache appearing
-            # after compile) falls back instead of a TypeError
+            # pytree structure the programs were lowered with — checked
+            # per call so a structural change (e.g. the int8 cache
+            # appearing after compile) falls back instead of a TypeError
             arg_treedef=jax.tree_util.tree_structure(
                 (enc.params, enc.quant_vars, self._label_features,
                  self.head)),
@@ -251,7 +270,10 @@ class ProbabilisticVLM:
 
         srv = self._serving
         pixels = self._pixels(images)
-        if tuple(pixels.shape) != srv["shape"]:
+        if tuple(pixels.shape[1:]) != srv["image_shape"]:
+            return None
+        exe = srv["programs"].get(int(pixels.shape[0]))
+        if exe is None:  # no program compiled for this batch size
             return None
         if pixels.dtype != srv["dtype"]:
             if not (jnp.issubdtype(pixels.dtype, jnp.floating)
@@ -289,7 +311,7 @@ class ProbabilisticVLM:
             # a buffer the caller still owns (a no-op device_put above
             # returns the same object; jnp.array copy keeps the sharding)
             pixels = jnp.array(pixels, copy=True)
-        return srv["exe"](params, quant, labels, head, pixels)
+        return exe(params, quant, labels, head, pixels)
 
     # -- inference ------------------------------------------------------
 

@@ -14,9 +14,13 @@ Why a single dispatcher thread: JAX dispatch is not free-threaded, the
 axon tunnel serializes device access anyway, and the AOT executable has
 ONE compiled signature — so the natural design is N request threads ->
 queue -> 1 device thread, exactly like a production TPU serving binary.
-Partial batches (a lone request after `max_wait_ms`) are padded to the
+Partial batches (a lone request after `max_wait_ms`) are padded to a
 compiled batch size with a repeat of the last row; padded rows are
 sliced off before futures resolve, so callers never observe padding.
+With `buckets` (a ladder of compiled sizes — XLA's static shapes make a
+program ladder the TPU-idiomatic answer to variable load), a partial
+batch dispatches to the smallest compiled size that fits, cutting the
+padding waste from (batch_size - n) to (bucket - n) rows.
 
     vlm = ProbabilisticVLM.from_pretrained(...).set_class_prompts(classes)
     server = BatchingServer(vlm, batch_size=8, max_wait_ms=3.0)
@@ -59,6 +63,7 @@ class ServerStats:
 
     requests: int = 0
     batches: int = 0
+    dispatched_rows: int = 0
     padded_rows: int = 0
     errors: int = 0
     queue_depth: int = 0
@@ -96,22 +101,31 @@ class BatchingServer:
         /255 + normalize lane into the graph (raw-camera ingestion:
         4x less host->device traffic than float32).
     max_queue : backpressure bound; submit() raises queue.Full beyond it.
+    buckets : batch-size ladder for partial batches. XLA programs have
+        static shapes, so a partial batch must pad to SOME compiled
+        size; with a ladder it pads only to the smallest compiled size
+        that fits instead of all the way to batch_size. None (default)
+        compiles batch_size only (today's single-program behavior);
+        "pow2" compiles a power-of-two ladder up to batch_size (on a
+        >1-device mesh: multiples of the data-axis size); an explicit
+        list of ints is used as-is (batch_size is always included).
     """
 
     def __init__(self, vlm, batch_size: int, max_wait_ms: float = 5.0,
-                 input_dtype=None, max_queue: int = 1024):
+                 input_dtype=None, max_queue: int = 1024, buckets=None):
         import jax.numpy as jnp
 
         if input_dtype is None:
             input_dtype = jnp.float32
-        srv = vlm._serving
-        if (srv is None or srv["shape"][0] != batch_size
-                or srv["dtype"] != np.dtype(input_dtype)):
-            vlm.compile_serving(batch_size, input_dtype=input_dtype)
-        self.vlm = vlm
         self.batch_size = int(batch_size)
+        self._buckets = self._build_ladder(vlm, buckets)
+        srv = vlm._serving
+        if (srv is None or srv["dtype"] != np.dtype(input_dtype)
+                or not set(self._buckets).issubset(srv["programs"])):
+            vlm.compile_serving(self._buckets, input_dtype=input_dtype)
+        self.vlm = vlm
         self.max_wait_s = float(max_wait_ms) / 1000.0
-        self._shape = vlm._serving["shape"][1:]  # (H, W, 3)
+        self._shape = vlm._serving["image_shape"]  # (H, W, 3)
         self._dtype = np.dtype(vlm._serving["dtype"])
         self._queue: queue.Queue = queue.Queue(maxsize=max_queue)
         self._thread: Optional[threading.Thread] = None
@@ -120,6 +134,36 @@ class BatchingServer:
         self._lat_ring = np.zeros(1024, np.float64)
         self._lat_n = 0
         self._stats = ServerStats()
+
+    def _build_ladder(self, vlm, buckets) -> list:
+        """Sorted compiled-batch-size ladder ending at batch_size."""
+        if self.batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")
+        step = 1  # every size must divide over the data axis when sharded
+        if vlm.mesh is not None and vlm.mesh.devices.size > 1:
+            axis = ("data" if "data" in vlm.mesh.axis_names
+                    else vlm.mesh.axis_names[0])
+            step = vlm.mesh.shape[axis]
+            if self.batch_size % step != 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must be divisible by "
+                    f"the {step}-way '{axis}' mesh axis")
+        if buckets is None:
+            return [self.batch_size]
+        if buckets == "pow2":
+            ladder, b = [], step
+            while b < self.batch_size:
+                ladder.append(b)
+                b *= 2
+            return ladder + [self.batch_size]
+        ladder = sorted({int(b) for b in buckets} | {self.batch_size})
+        bad = [b for b in ladder
+               if b < 1 or b > self.batch_size or b % step != 0]
+        if bad:
+            raise ValueError(
+                f"bucket sizes must be in [1, batch_size={self.batch_size}]"
+                f" and divisible by {step} (mesh data axis), got {bad}")
+        return ladder
 
     # -- lifecycle --------------------------------------------------------
 
@@ -287,11 +331,14 @@ class BatchingServer:
         n = len(live)
         if not n:
             return
+        # smallest compiled program that fits: with a bucket ladder a
+        # partial batch wastes (bucket - n) rows, not (batch_size - n)
+        bucket = next(b for b in self._buckets if b >= n)
         try:
             pixels = np.stack([r.image for r in live])
-            if n < self.batch_size:
+            if n < bucket:
                 pad = np.broadcast_to(
-                    pixels[-1:], (self.batch_size - n, *self._shape))
+                    pixels[-1:], (bucket - n, *self._shape))
                 pixels = np.concatenate([pixels, pad])
             # public predict(): hits the AOT fast path on signature
             # match, and still serves correctly through the general
@@ -308,7 +355,8 @@ class BatchingServer:
         with self._lock:
             s = self._stats
             s.batches += 1
-            s.padded_rows += self.batch_size - n
+            s.dispatched_rows += bucket
+            s.padded_rows += bucket - n
             for req in live:
                 self._lat_ring[self._lat_n % self._lat_ring.size] = (
                     now - req.t_enqueue) * 1000.0
@@ -325,6 +373,7 @@ class BatchingServer:
         """Public compiled-signature view (what /healthz reports)."""
         return {
             "batch_size": self.batch_size,
+            "buckets": list(self._buckets),
             "image_shape": list(self._shape),
             "input_dtype": str(self._dtype),
             "max_wait_ms": self.max_wait_s * 1000.0,
@@ -334,8 +383,8 @@ class BatchingServer:
         with self._lock:
             s = ServerStats(**vars(self._stats))
             s.queue_depth = self._queue.qsize()
-            served = s.batches * self.batch_size
-            s.fill = (served - s.padded_rows) / served if served else 1.0
+            s.fill = ((s.dispatched_rows - s.padded_rows)
+                      / s.dispatched_rows if s.dispatched_rows else 1.0)
             k = min(self._lat_n, self._lat_ring.size)
             if k:
                 lat = np.sort(self._lat_ring[:k])

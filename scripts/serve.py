@@ -47,7 +47,8 @@ class ServingApp:
     """Owns the VLM + BatchingServer; serializes label-set swaps."""
 
     def __init__(self, vlm, batch_size: int, max_wait_ms: float,
-                 input_dtype: str, predict_timeout_s: float = 120.0):
+                 input_dtype: str, predict_timeout_s: float = 120.0,
+                 buckets=None):
         import jax.numpy as jnp
 
         from bayesvlm_tpu.serve import BatchingServer
@@ -55,7 +56,7 @@ class ServingApp:
         self._dtype = {"float32": jnp.float32, "uint8": jnp.uint8}[input_dtype]
         self._make = lambda: BatchingServer(
             vlm, batch_size, max_wait_ms=max_wait_ms,
-            input_dtype=self._dtype,
+            input_dtype=self._dtype, buckets=buckets,
         )
         self.vlm = vlm
         self.verbose = False
@@ -206,9 +207,14 @@ def build_app(args) -> ServingApp:
     prompts = [args.text_prompt.format(class_name=c)
                for c in json.loads(Path(args.classes_json).read_text())]
     vlm.set_class_prompts(prompts)
+    buckets = None
+    if args.buckets:
+        buckets = ("pow2" if args.buckets == "pow2"
+                   else [int(b) for b in args.buckets.split(",")])
     app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
                      args.input_dtype,
-                     predict_timeout_s=args.predict_timeout_s)
+                     predict_timeout_s=args.predict_timeout_s,
+                     buckets=buckets)
     app.verbose = args.verbose
     return app
 
@@ -247,6 +253,11 @@ def parse_args():
     p.add_argument("--device", type=str, default="tpu",
                    help="'cpu' forces the CPU platform; anything else "
                         "keeps default resolution (TPU when present)")
+    p.add_argument("--buckets", default=None,
+                   help="batch-size ladder for partial batches: 'pow2' "
+                        "or a comma list (e.g. '1,4'); partial batches "
+                        "dispatch to the smallest compiled size that "
+                        "fits instead of padding to --batch_size")
     p.add_argument("--predict_timeout_s", type=float, default=120.0,
                    help="bound on a single request's wait for its batch "
                         "result; expiry returns HTTP 504 instead of "

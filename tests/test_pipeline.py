@@ -241,6 +241,18 @@ def test_compile_serving_sharded_matches_dense(hessian_dir):
     assert vlm._serving is not None
     assert np.asarray(vlm.predict(imgs)).shape == (16, 4)
 
+    # bucket ladder on the mesh: every size divides the data axis, and
+    # the smaller program serves a mesh-multiple batch sharded too
+    vlm.set_class_prompts(PROMPTS)
+    vlm_dense.set_class_prompts(PROMPTS)
+    with pytest.raises(ValueError, match="divisible"):
+        vlm.compile_serving([4, 16])
+    vlm.compile_serving([8, 16])
+    imgs8 = _images(n=8, seed=10)
+    np.testing.assert_allclose(
+        np.asarray(vlm.predict(imgs8)),
+        np.asarray(vlm_dense.predict(imgs8)), rtol=1e-5, atol=1e-6)
+
 def test_compile_serving_dtype_and_structure_fallbacks(hessian_dir):
     """The AOT fast path must FALL BACK (not silently mis-serve, not
     crash) when (a) a uint8 batch hits a float-compiled program — an
@@ -314,3 +326,33 @@ def test_compile_serving_with_int8_tower(hessian_dir):
     vlm.compile_serving(batch_size=2)
     fast = np.asarray(vlm.predict(imgs))
     np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+
+
+def test_compile_serving_bucket_ladder(hessian_dir):
+    """compile_serving with a LIST of batch sizes builds one AOT program
+    per size; predict() dispatches any exact-size match to its program
+    and falls back (correctly) for sizes outside the ladder."""
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    ).set_class_prompts(PROMPTS)
+    vlm_plain = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="fp32",
+        prior_num_steps=50, mesh=None,
+    ).set_class_prompts(PROMPTS)
+
+    vlm.compile_serving([1, 2, 4])
+    assert sorted(vlm._serving["programs"]) == [1, 2, 4]
+    for n in (1, 2, 4):
+        imgs = _images(n=n, seed=30 + n)
+        np.testing.assert_allclose(
+            np.asarray(vlm.predict(imgs)),
+            np.asarray(vlm_plain.predict(imgs)), rtol=1e-5, atol=1e-6)
+    # B=3 has no compiled program: general path serves it
+    imgs3 = _images(n=3, seed=34)
+    np.testing.assert_allclose(
+        np.asarray(vlm.predict(imgs3)),
+        np.asarray(vlm_plain.predict(imgs3)), rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match=">= 1"):
+        vlm.compile_serving([0, 2])

@@ -478,3 +478,50 @@ def test_http_error_status_mapping_and_swap_recovery(vlm, monkeypatch):
     finally:
         httpd.shutdown()
         app.server.stop(drain=False)
+
+
+def test_bucket_ladder_reduces_padding(vlm, reference_predict):
+    """With buckets='pow2' a partial batch pads only to the smallest
+    compiled size that fits (here 3 -> bucket 4, 1 padded row) instead
+    of all the way to batch_size=8 (5 padded rows)."""
+    imgs = _images(n=3, seed=40)
+    expected = reference_predict(imgs)
+    srv = BatchingServer(vlm, batch_size=8, max_wait_ms=50.0,
+                         buckets="pow2").start()
+    try:
+        assert srv._buckets == [1, 2, 4, 8]
+        assert srv.signature()["buckets"] == [1, 2, 4, 8]
+        futs = srv.submit_many(list(imgs))
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=120), expected[i],
+                                       rtol=1e-5, atol=1e-6)
+        stats = srv.stats()
+        assert stats.dispatched_rows == 4   # bucket 4, not batch_size 8
+        assert stats.padded_rows == 1
+        assert stats.fill == pytest.approx(0.75)
+    finally:
+        srv.stop(drain=True)
+
+    with pytest.raises(ValueError, match="bucket sizes"):
+        BatchingServer(vlm, batch_size=8, buckets=[16])
+
+
+def test_bucket_ladder_respects_mesh_divisibility():
+    """On a >1-device mesh every compiled size must divide over the data
+    axis: the pow2 ladder starts at the axis size, and explicit buckets
+    that don't divide are rejected."""
+    from types import SimpleNamespace
+
+    fake_vlm = SimpleNamespace(mesh=SimpleNamespace(
+        devices=SimpleNamespace(size=8), axis_names=("data",),
+        shape={"data": 8}))
+    srv = BatchingServer.__new__(BatchingServer)
+    srv.batch_size = 32
+    assert srv._build_ladder(fake_vlm, "pow2") == [8, 16, 32]
+    assert srv._build_ladder(fake_vlm, None) == [32]
+    assert srv._build_ladder(fake_vlm, [8, 24]) == [8, 24, 32]
+    with pytest.raises(ValueError, match="divisible"):
+        srv._build_ladder(fake_vlm, [4])
+    srv.batch_size = 12
+    with pytest.raises(ValueError, match="divisible"):
+        srv._build_ladder(fake_vlm, "pow2")
