@@ -68,8 +68,13 @@ class ImagenetWDSModule(DataModule):
         self._counter = 0
 
         def _preprocess(item):
+            if "cls" not in item:
+                # a missing label would otherwise default into
+                # class_names[-1] (the LAST class's caption) — raise so
+                # WebDataset's warn_and_continue skips the sample instead
+                raise ValueError("missing 'cls' member (no label)")
             img = decode_image(item["jpg"] if "jpg" in item else item["jpeg"])
-            label = int(item.get("cls", -1))
+            label = int(item["cls"])
             self._counter += 1
             return dict(
                 image=self.test_transform(img) if self.test_transform else img,
@@ -78,11 +83,26 @@ class ImagenetWDSModule(DataModule):
                 image_id=self._counter - 1,
             )
 
-        self.dataset = WebDataset(
+        wds = WebDataset(
             self.data_path,
             shuffle_buffer=1000 if self.shuffle_train else 0,
             map_fn=_preprocess,
         )
+        module = self
+
+        class _EpochStableIds:
+            """Reset the image_id counter at each iteration start so the
+            same sample keeps the same id across epochs (hessian CLIs
+            iterate one loader twice: image pass, then text pass)."""
+
+            def __iter__(self):
+                module._counter = 0
+                return iter(wds)
+
+            def __getattr__(self, attr):
+                return getattr(wds, attr)
+
+        self.dataset = _EpochStableIds()
 
     def train_dataloader(self):
         return IterableLoader(self.dataset, self.batch_size, drop_last=False)

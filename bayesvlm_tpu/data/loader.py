@@ -95,6 +95,18 @@ class DataLoader:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        def put(item) -> bool:
+            """Stop-aware put: a consumer that stopped mid-iteration (an
+            early `break`) must not leave the producer parked forever in
+            a blocking q.put (same pattern as prefetch.PrefetchLoader)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
@@ -102,13 +114,15 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(ex.map(self.dataset.__getitem__, idx.tolist()))
-                        q.put(self.collate_fn(samples))
+                        if not put(self.collate_fn(samples)):
+                            return
             except Exception as e:  # surfaced on the consumer side
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
-        t = threading.Thread(target=produce, daemon=True)
+        t = threading.Thread(target=produce, daemon=True,
+                             name="bvt-loader-producer")
         t.start()
 
         def gen():
@@ -122,6 +136,12 @@ class DataLoader:
                     yield item
             finally:
                 stop.set()
+                try:  # drain so a parked producer can observe stop
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=5.0)
 
         return gen()
 

@@ -26,8 +26,10 @@ _lib = None
 
 
 class _TarEntry(ctypes.Structure):
+    # name is 257 bytes: the max legal ustar path (155 prefix + '/' +
+    # 100 name) is exactly 256 chars + NUL — must match native/bvt_io.cc
     _fields_ = [
-        ("name", ctypes.c_char * 256),
+        ("name", ctypes.c_char * 257),
         ("offset", ctypes.c_uint64),
         ("size", ctypes.c_uint64),
     ]

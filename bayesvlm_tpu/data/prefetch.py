@@ -238,7 +238,19 @@ class ParallelPILLoader:
             # deterministic round-robin over worker queues
             while live:
                 for w in list(live):
-                    item = queues[w].get()
+                    while True:
+                        try:
+                            item = queues[w].get(timeout=5.0)
+                            break
+                        except queue.Empty:
+                            # a worker killed without posting its _end/_err
+                            # sentinel (OOM-kill, segfault in PIL/zlib)
+                            # would otherwise hang this get forever
+                            if not procs[w].is_alive():
+                                raise RuntimeError(
+                                    f"decode worker {w} died without "
+                                    f"signaling (exitcode "
+                                    f"{procs[w].exitcode})")
                     if isinstance(item, _Ctrl):
                         if item.kind == "end":
                             live.remove(w)

@@ -79,14 +79,23 @@ def siglip_transform(image_size: int) -> Callable:
 
 
 def corruption_transform(image_size: int, std: float, seed: int = 0) -> Callable:
-    """CLIP chain + clamped Gaussian noise (ref:data/common.py:78-86)."""
-    rng = np.random.default_rng(seed)
+    """CLIP chain + clamped Gaussian noise (ref:data/common.py:78-86).
+
+    The noise key is derived from (seed, image content), not from a
+    shared Generator: a single np Generator is not thread-safe and makes
+    per-image noise depend on DataLoader worker scheduling — with a
+    content-derived key, identical seeds give identical corrupted inputs
+    regardless of decode order or thread count (the reference seeds a
+    global torch RNG, so only statistical behavior is matched)."""
+    import zlib
 
     def _apply(img: Image.Image) -> np.ndarray:
         img = _resize_shorter(img, image_size)
         img = _center_crop(img, image_size)
         img = img.convert("RGB")
         arr = _to_float_array(img)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([seed, zlib.crc32(arr.tobytes())]))
         arr = np.clip(arr + rng.normal(0.0, std, arr.shape).astype(np.float32), 0.0, 1.0)
         return _normalize(arr, DEFAULT_MEAN, DEFAULT_STD)
 

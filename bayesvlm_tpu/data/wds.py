@@ -222,6 +222,24 @@ class NativeDecodeLoader:
         self.num_threads = num_threads
         self.out_uint8 = out_uint8
 
+    @staticmethod
+    def _jpg_of(sample):
+        # webdataset members may be named *.jpg or *.jpeg (the PIL lane's
+        # _preprocess in imagenet.py accepts both)
+        return sample.get("jpg", sample.get("jpeg"))
+
+    @staticmethod
+    def _image_id_of(key) -> int:
+        """int(__key__) per the LAION contract (ref:laion400m.py map);
+        non-numeric keys (e.g. 'n01440764_10026') fall back to a stable
+        content hash instead of killing the stream."""
+        try:
+            return int(key)
+        except (TypeError, ValueError):
+            import zlib
+
+            return zlib.crc32(str(key).encode("utf-8"))
+
     def _emit(self, samples):
         from bayesvlm_tpu.data import native_io
 
@@ -229,14 +247,14 @@ class NativeDecodeLoader:
             # device-normalize lane: raw uint8 crops out; the encoder
             # applies /255 + mean/std in-graph (see decode_batch_u8)
             imgs, status = native_io.decode_batch_u8(
-                [s["jpg"] for s in samples],
+                [self._jpg_of(s) for s in samples],
                 self.image_size,
                 square_resize=self.square_resize,
                 num_threads=self.num_threads,
             )
         else:
             imgs, status = native_io.decode_batch(
-                [s["jpg"] for s in samples],
+                [self._jpg_of(s) for s in samples],
                 self.image_size, self.mean, self.std,
                 square_resize=self.square_resize, num_threads=self.num_threads,
             )
@@ -253,7 +271,8 @@ class NativeDecodeLoader:
         out = {"image": imgs[keep]}
         if "txt" in kept[0]:
             out["text"] = [s["txt"].decode("utf-8") for s in kept]
-        out["image_id"] = np.asarray([int(s["__key__"]) for s in kept])
+        out["image_id"] = np.asarray(
+            [self._image_id_of(s["__key__"]) for s in kept])
         if "cls" in kept[0]:
             out["class_id"] = np.asarray([int(s["cls"]) for s in kept])
         return out
@@ -261,9 +280,10 @@ class NativeDecodeLoader:
     def __iter__(self):
         batch: List[Dict] = []
         for sample in self.dataset:
-            if "jpg" not in sample:
+            if self._jpg_of(sample) is None:
                 warnings.warn(
-                    f"skipping sample {sample.get('__key__')}: no jpg member"
+                    f"skipping sample {sample.get('__key__')}: no jpg/jpeg "
+                    f"member"
                 )
                 continue
             batch.append(sample)

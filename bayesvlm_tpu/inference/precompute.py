@@ -39,8 +39,13 @@ def _np_result(parts_e, parts_a, parts_r) -> EncoderResult:
 
 
 def _pad_batch(x: np.ndarray, size: int) -> Tuple[np.ndarray, int]:
+    """Pad short batches up to `size` (repeat last row; callers slice the
+    result back to n). A batch LARGER than `size` passes through at its
+    own size — with native-decode loaders the first batch can come up
+    short (failed decodes are dropped), so `size` locked from it must
+    not crash every later full batch."""
     n = x.shape[0]
-    if n == size:
+    if n >= size:
         return x, n
     pad = np.repeat(x[-1:], size - n, axis=0)
     return np.concatenate([x, pad], axis=0), n

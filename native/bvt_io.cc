@@ -37,7 +37,11 @@ extern "C" {
 // ---------------------------------------------------------------------
 
 struct BvtTarEntry {
-  char name[256];
+  // 257 = 155-byte ustar prefix + '/' + 100-byte name + NUL: the maximum
+  // legal ustar path is exactly 256 chars, which a 256-byte field would
+  // silently truncate (dropping e.g. the 'g' of '.jpg' and breaking
+  // extension grouping). Mirrored by ctypes in data/native_io.py.
+  char name[257];
   uint64_t offset;  // offset of file DATA (after the 512-byte header)
   uint64_t size;
 };
@@ -51,6 +55,18 @@ static uint64_t parse_octal(const char* p, size_t n) {
   return v;
 }
 
+// GNU/STAR tars store sizes >= 8GB in base-256: high bit of byte 0 set,
+// remaining bits + bytes are a big-endian integer. parse_octal would
+// return garbage for those and corrupt every subsequent entry's offset.
+static uint64_t parse_size(const unsigned char* p, size_t n) {
+  if (p[0] & 0x80) {
+    uint64_t v = p[0] & 0x7F;
+    for (size_t i = 1; i < n; ++i) v = (v << 8) | p[i];
+    return v;
+  }
+  return parse_octal((const char*)p, n);
+}
+
 // Index a tar file. Returns number of entries, fills *out with a
 // malloc'ed array the caller frees via bvt_free_index. Returns -1 on error.
 long bvt_tar_index(const char* path, BvtTarEntry** out) {
@@ -62,7 +78,7 @@ long bvt_tar_index(const char* path, BvtTarEntry** out) {
   while (fread(hdr, 1, 512, f) == 512) {
     pos += 512;
     if (hdr[0] == 0) break;  // end-of-archive blocks
-    uint64_t size = parse_octal((const char*)hdr + 124, 12);
+    uint64_t size = parse_size(hdr + 124, 12);
     char typeflag = hdr[156];
     if (typeflag == '0' || typeflag == 0) {  // regular file
       BvtTarEntry e;
@@ -83,7 +99,7 @@ long bvt_tar_index(const char* path, BvtTarEntry** out) {
       } else {
         memcpy(name, hdr, 100);
       }
-      strncpy(e.name, name, 255);
+      memcpy(e.name, name, sizeof(name));  // both 257 bytes, NUL-padded
       e.offset = pos;
       e.size = size;
       entries.push_back(e);

@@ -74,10 +74,9 @@ def test_tar_index_ustar_prefix_and_gnu_magic(tmp_path):
         info.size = len(data)
         tf.addfile(info, io.BytesIO(data))
     entries = native_io.tar_index(path)
-    # e.name caps at 256 bytes (255 chars + NUL): the joined path is
-    # reconstructed up to that limit
+    # e.name holds the full 256-char maximum path (257-byte field)
     assert len(entries) == 1
-    assert entries[0][0] == longname[:255]
+    assert entries[0][0] == longname
     assert native_io.read_member(path, entries[0][1], entries[0][2]) == data
 
     # (b): hand-crafted GNU-format header (magic "ustar  ") with octal
@@ -215,3 +214,65 @@ def test_native_decode_loader_wired(tmp_path):
         b = pil_images[pil_ids.tolist().index(i)]
         # bilinear vs bicubic on noise: coarse agreement only
         assert np.mean(np.abs(a - b)) < 0.6
+
+
+def test_tar_index_max_length_ustar_name(tmp_path):
+    """The maximum legal ustar path is exactly 256 chars (155-byte
+    prefix + '/' + 100-byte name); a 255-char truncation would drop the
+    final character ('.jpg' -> '.jp') and silently break extension
+    grouping in the native lane while the PIL lane reads it fine."""
+    prefix = "a" * 77 + "/" + "b" * 77          # 155 chars, splittable
+    name = "c" * 96 + ".jpg"                     # 100 chars
+    full = prefix + "/" + name                   # 256 chars
+    assert len(full) == 256
+    path = tmp_path / "long.tar"
+    payload = _jpeg_bytes(8, 8, (1, 2, 3))
+    with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(name=full)
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+
+    entries = native_io.tar_index(path)
+    assert len(entries) == 1
+    ename, offset, size = entries[0]
+    assert ename == full  # no truncation
+    assert native_io.read_member(path, offset, size) == payload
+
+
+def test_tar_index_base256_size_field(tmp_path):
+    """GNU/STAR tars store sizes >= 8GB base-256 (high bit of the size
+    field set). The encoding is legal for ANY size, and an octal parse
+    of it garbles the offsets of every subsequent member."""
+    payload = b"hello"
+    after = b"world!!"
+
+    def hdr(name, size, base256):
+        h = bytearray(512)
+        h[0:len(name)] = name.encode()
+        if base256:
+            h[124] = 0x80
+            h[125:136] = size.to_bytes(11, "big")
+        else:
+            h[124:136] = (oct(size)[2:].zfill(11) + "\x00").encode()
+        h[156] = ord("0")
+        h[257:262] = b"ustar"
+        h[263:265] = b"00"
+        return bytes(h)
+
+    def member(name, data, base256=False):
+        pad = (-len(data)) % 512
+        return hdr(name, len(data), base256) + data + b"\x00" * pad
+
+    raw = (member("big.bin", payload, base256=True)
+           + member("next.bin", after) + b"\x00" * 1024)
+    path = tmp_path / "b256.tar"
+    path.write_bytes(raw)
+
+    entries = {e[0]: e for e in native_io.tar_index(path)}
+    assert set(entries) == {"big.bin", "next.bin"}
+    _, off1, size1 = entries["big.bin"]
+    _, off2, size2 = entries["next.bin"]
+    assert size1 == len(payload)
+    assert native_io.read_member(path, off1, size1) == payload
+    # the follower's offset survived the base-256 member
+    assert native_io.read_member(path, off2, size2) == after

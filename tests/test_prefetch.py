@@ -201,3 +201,23 @@ def test_laion_module_uses_parallel_loader(tmp_path):
     seq_ids = sorted(int(i) for b in seq_loader for i in b["image_id"])
     par_ids = sorted(int(i) for b in par_loader for i in b["image_id"])
     assert seq_ids == par_ids == list(range(12))
+
+
+def test_parallel_loader_dead_worker_raises_not_hangs(tmp_path):
+    """A worker process killed without posting its _end/_err sentinel
+    (OOM-kill, segfault in a decoder) must surface as a RuntimeError in
+    the consumer instead of a silent forever-hang on queue.get()."""
+    import os
+
+    tars = _make_tars(tmp_path, n_tars=2, per_tar=4)
+
+    def dying_iter(tars):
+        def gen():
+            os._exit(3)  # abrupt death: no sentinel, no cleanup
+            yield  # pragma: no cover
+        return gen()
+
+    loader = ParallelPILLoader(tars, dying_iter, batch_size=1,
+                               num_workers=2, collate_fn=lambda b: b)
+    with pytest.raises(RuntimeError, match="died without signaling"):
+        list(loader)
