@@ -86,7 +86,10 @@ def kfac_ggn(
 
         if likelihood == "info_nce":
             if use_mesh:
-                H = sharded_hessian_infonce(src, tgt, logit_scale, mesh)
+                H = sharded_hessian_infonce(
+                    src, tgt, logit_scale, mesh,
+                    block_size=block_size, precision=precision,
+                )
             else:
                 H = hessian_infonce(
                     src, tgt, logit_scale, block_size=block_size,
@@ -101,7 +104,11 @@ def kfac_ggn(
         elif likelihood == "siglip":
             indices = np.arange(len(src), dtype=np.int32)
             if use_mesh:
-                H = sharded_hessian_siglip(src, indices, tgt, logit_scale, logit_bias, mesh)
+                H = sharded_hessian_siglip(
+                    src, indices, tgt, logit_scale, logit_bias, mesh,
+                    block_size=block_size, chunk_j=chunk_size_j,
+                    precision=precision,
+                )
             else:
                 H = hessian_siglip(
                     src, indices, tgt, logit_scale, logit_bias,

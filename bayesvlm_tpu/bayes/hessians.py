@@ -43,6 +43,21 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _zeros_matching_vma(shape, ref: Array) -> Array:
+    """fp32 zeros whose varying-manual-axes type matches `ref`.
+
+    Scan carries must type-match the body output; inside shard_map the
+    partial statistics are varying over the mesh axis while a plain
+    jnp.zeros is unvarying, so the init must be pcast to varying. Outside
+    shard_map the vma set is empty and this is exactly jnp.zeros.
+    """
+    z = jnp.zeros(shape, jnp.float32)
+    axes = tuple(getattr(jax.typeof(ref), "vma", ()) or ())
+    if axes:
+        z = jax.lax.pcast(z, axes, to="varying")
+    return z
+
+
 def _assemble_factor(w: Array, G: Array, Y: Array) -> Array:
     """Final [D, D] factor Y^T diag(w) Y + G.
 
@@ -223,10 +238,18 @@ def _siglip_block_stats(
     wired to the CLI's --siglip_chunk_size. Results are chunking-invariant
     (the statistics are plain sums over j).
     """
-    # trace-time precision scope (manual enter/exit keeps the long body,
-    # incl. the chunked-scan branch, at this indent level)
-    ctx = jax.default_matmul_precision(precision)
-    ctx.__enter__()
+    with jax.default_matmul_precision(precision):
+        return _siglip_block_stats_body(
+            x_block, diag_idx, Yn, logit_scale, logit_bias, row_mask, chunk_j
+        )
+
+
+def _siglip_block_stats_body(
+    x_block, diag_idx, Yn, logit_scale, logit_bias, row_mask, chunk_j
+):
+    # body of _siglip_block_stats, factored out so the matmul-precision
+    # scope above is a real `with` (the previous manual __enter__/__exit__
+    # leaked the global precision if tracing raised mid-body)
     scale = jnp.exp(logit_scale)
     if row_mask is not None:
         safe = row_mask[:, None] > 0
@@ -275,8 +298,8 @@ def _siglip_block_stats(
             return (V_acc + V_c, s_acc + s_c), w_c
 
         init = (
-            jnp.zeros((B, Yn.shape[1]), jnp.float32),
-            jnp.zeros((B,), jnp.float32),
+            _zeros_matching_vma((B, Yn.shape[1]), x_block),
+            _zeros_matching_vma((B,), x_block),
         )
         (V, s), w_stack = jax.lax.scan(body, init, (Yp, validp, base))
         w = w_stack.reshape(-1)[:N]
@@ -287,7 +310,6 @@ def _siglip_block_stats(
     # Gram keeps the GEMM exactly symmetric (see _infonce_block_stats).
     Us = Ub * jnp.sqrt(jnp.maximum(s, 0.0))[:, None]
     G = -(Ub.T @ Vb) - (Vb.T @ Ub) + Us.T @ Us
-    ctx.__exit__(None, None, None)
     return w, G
 
 

@@ -6,11 +6,23 @@ batch" — 32768 x 1024 fp32 = 128 MB, well within HBM).
 
 This is the SPMD replacement for the reference's single-GPU inner loop
 (ref:scripts/hessian_estimation.py:62-104); no counterpart exists upstream.
+
+The jitted SPMD programs are built once per (mesh, axis, options) key and
+cached: `kfac_ggn` calls these helpers once per class batch, and a fresh
+closure per call would defeat jit's cache and re-trace (and, absent the
+persistent compilation cache, re-compile) every batch.
+
+`precision`, `block_size`, and `chunk_j` mirror the single-device options
+on bayesvlm_tpu.bayes.hessians: `precision` selects the GEMM passes
+('highest' fp32 parity default / 'high' bf16x3), `block_size` scans the
+per-shard source rows in blocks to bound the [block, C] logits buffers
+(a [B/n_dev, 32768] fp32 buffer is still ~0.5 GB at the default workload),
+and `chunk_j` bounds the SigLIP target axis the same way.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -24,6 +36,7 @@ from bayesvlm_tpu.bayes.hessians import (
     _infonce_block_stats,
     _siglip_block_stats,
     _l2_normalize,
+    _zeros_matching_vma,
 )
 
 Array = jax.Array
@@ -55,19 +68,36 @@ def _as_global(x, mesh: Mesh, spec: P):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
-def sharded_hessian_infonce(
-    source_embeds,
-    target_embeds,
-    logit_scale,
-    mesh: Mesh,
-    axis: str = "data",
-) -> Array:
-    """Multi-chip InfoNCE GGN: returns the replicated [D, D] Hessian."""
-    n_dev = mesh.shape[axis]
-    src, mask = _pad_rows(np.asarray(source_embeds, np.float32), n_dev)
-    Y, _ = _l2_normalize(jnp.asarray(target_embeds, jnp.float32))
-    scale = jnp.asarray(logit_scale, jnp.float32)
+def _blocked_stats(stats_fn, row_arrays, block_size, out_shapes):
+    """Scan `stats_fn` over row blocks of the per-shard arrays, summing the
+    (w, G) partials — the per-shard analogue of the block scan in
+    hessians._hessian_*_jit, bounding the [block, C] intermediates."""
+    B = row_arrays[0].shape[0]
+    if block_size is None or block_size >= B:
+        return stats_fn(*row_arrays)
+    n_full = B // block_size
+    blocks = tuple(
+        a[: n_full * block_size].reshape((n_full, block_size) + a.shape[1:])
+        for a in row_arrays
+    )
 
+    def body(carry, blk):
+        w, G = stats_fn(*blk)
+        return (carry[0] + w, carry[1] + G), None
+
+    # carries must match the body output's varying-manual-axes type
+    # (the partial stats are varying over the mesh axis under shard_map)
+    init = tuple(_zeros_matching_vma(s, row_arrays[0]) for s in out_shapes)
+    (w, G), _ = jax.lax.scan(body, init, blocks)
+    if n_full * block_size < B:
+        rest = tuple(a[n_full * block_size :] for a in row_arrays)
+        w_r, G_r = stats_fn(*rest)
+        w, G = w + w_r, G + G_r
+    return w, G
+
+
+@lru_cache(maxsize=None)
+def _infonce_program(mesh: Mesh, axis: str, block_size, precision: str):
     @partial(
         shard_map,
         mesh=mesh,
@@ -75,17 +105,71 @@ def sharded_hessian_infonce(
         out_specs=P(),
     )
     def _shard_fn(src_shard, Y_rep, s, mask_shard):
-        w, G = _infonce_block_stats(src_shard, Y_rep, s, row_mask=mask_shard)
+        def stats(src_blk, mask_blk):
+            return _infonce_block_stats(
+                src_blk, Y_rep, s, row_mask=mask_blk, precision=precision
+            )
+
+        D = Y_rep.shape[1]
+        w, G = _blocked_stats(
+            stats, (src_shard, mask_shard), block_size,
+            ((Y_rep.shape[0],), (D, D)),
+        )
         w = jax.lax.psum(w, axis)
         G = jax.lax.psum(G, axis)
         return _assemble_factor(w, G, Y_rep)
 
-    return jax.jit(_shard_fn)(
+    return jax.jit(_shard_fn)
+
+
+def sharded_hessian_infonce(
+    source_embeds,
+    target_embeds,
+    logit_scale,
+    mesh: Mesh,
+    axis: str = "data",
+    block_size: Optional[int] = None,
+    precision: str = "highest",
+) -> Array:
+    """Multi-chip InfoNCE GGN: returns the replicated [D, D] Hessian."""
+    n_dev = mesh.shape[axis]
+    src, mask = _pad_rows(np.asarray(source_embeds, np.float32), n_dev)
+    Y, _ = _l2_normalize(jnp.asarray(target_embeds, jnp.float32))
+    scale = jnp.asarray(logit_scale, jnp.float32)
+
+    return _infonce_program(mesh, axis, block_size, precision)(
         _as_global(src, mesh, P(axis, None)),
         _as_global(Y, mesh, P()),
         scale,
         _as_global(mask, mesh, P(axis)),
     )
+
+
+@lru_cache(maxsize=None)
+def _siglip_program(mesh: Mesh, axis: str, block_size, chunk_j, precision: str):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P(), P(axis)),
+        out_specs=P(),
+    )
+    def _shard_fn(x_shard, idx_shard, Yn_rep, s_, b_, mask_shard):
+        def stats(x_blk, idx_blk, mask_blk):
+            return _siglip_block_stats(
+                x_blk, idx_blk, Yn_rep, s_, b_, row_mask=mask_blk,
+                chunk_j=chunk_j, precision=precision,
+            )
+
+        D = Yn_rep.shape[1]
+        w, G = _blocked_stats(
+            stats, (x_shard, idx_shard, mask_shard), block_size,
+            ((Yn_rep.shape[0],), (D, D)),
+        )
+        w = jax.lax.psum(w, axis)
+        G = jax.lax.psum(G, axis)
+        return _assemble_factor(w, G, Yn_rep)
+
+    return jax.jit(_shard_fn)
 
 
 def sharded_hessian_siglip(
@@ -96,6 +180,9 @@ def sharded_hessian_siglip(
     logit_bias,
     mesh: Mesh,
     axis: str = "data",
+    block_size: Optional[int] = None,
+    chunk_j: Optional[int] = None,
+    precision: str = "highest",
 ) -> Array:
     n_dev = mesh.shape[axis]
     x, mask = _pad_rows(np.asarray(x_batch, np.float32), n_dev)
@@ -107,19 +194,7 @@ def sharded_hessian_siglip(
     s = jnp.asarray(logit_scale, jnp.float32)
     b = jnp.asarray(logit_bias, jnp.float32)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(), P(), P(), P(axis)),
-        out_specs=P(),
-    )
-    def _shard_fn(x_shard, idx_shard, Yn_rep, s_, b_, mask_shard):
-        w, G = _siglip_block_stats(x_shard, idx_shard, Yn_rep, s_, b_, row_mask=mask_shard)
-        w = jax.lax.psum(w, axis)
-        G = jax.lax.psum(G, axis)
-        return _assemble_factor(w, G, Yn_rep)
-
-    return jax.jit(_shard_fn)(
+    return _siglip_program(mesh, axis, block_size, chunk_j, precision)(
         _as_global(x, mesh, P(axis, None)),
         _as_global(idx, mesh, P(axis)),
         _as_global(Yn, mesh, P()),
@@ -128,16 +203,8 @@ def sharded_hessian_siglip(
     )
 
 
-def sharded_activation_gram(
-    activations,
-    mesh: Mesh,
-    append_bias_column: bool = False,
-    axis: str = "data",
-) -> Array:
-    """Batch-sharded activations^T @ activations with psum over ICI."""
-    n_dev = mesh.shape[axis]
-    a, mask = _pad_rows(np.asarray(activations, np.float32), n_dev)
-
+@lru_cache(maxsize=None)
+def _gram_program(mesh: Mesh, axis: str, append_bias_column: bool):
     @partial(
         shard_map,
         mesh=mesh,
@@ -153,6 +220,19 @@ def sharded_activation_gram(
             partial_gram = a_masked.T @ a_masked
         return jax.lax.psum(partial_gram, axis)
 
-    return jax.jit(_shard_fn)(
+    return jax.jit(_shard_fn)
+
+
+def sharded_activation_gram(
+    activations,
+    mesh: Mesh,
+    append_bias_column: bool = False,
+    axis: str = "data",
+) -> Array:
+    """Batch-sharded activations^T @ activations with psum over ICI."""
+    n_dev = mesh.shape[axis]
+    a, mask = _pad_rows(np.asarray(activations, np.float32), n_dev)
+
+    return _gram_program(mesh, axis, append_bias_column)(
         _as_global(a, mesh, P(axis, None)), _as_global(mask, mesh, P(axis))
     )

@@ -104,8 +104,12 @@ class _PtUnpickler(pickle.Unpickler):
             name = storage_type
         else:  # torch dtype-tagged storage
             name = getattr(storage_type, "__name__", str(storage_type))
-        dtype = _DTYPE_MAP.get(name, np.float32)
-        return _TensorStub(key, dtype, numel)
+        if name not in _DTYPE_MAP:
+            # find_class raises loudly on unsupported globals; be equally
+            # loud here — a silent float32 fallback would reinterpret the
+            # raw bytes of e.g. a ComplexFloatStorage as garbage floats.
+            raise pickle.UnpicklingError(f"unsupported torch storage type {name}")
+        return _TensorStub(key, _DTYPE_MAP[name], numel)
 
 
 def _load_pt_numpy(path: Path) -> np.ndarray:

@@ -374,8 +374,21 @@ def select_epig_online(
         target_features = update_embeddings(kernel, bias, target_features)
 
         # --- online Hessian update (ref:bayesvlm/epig.py:237-255) ---
+        # DIVERGENCE (latent reference bug FIXED here): the reference's
+        # `A_new = a @ a.T` on a 1-D activation is a scalar dot product
+        # (torch 1-D matmul), silently broadcast into A_img — the rank-1
+        # activation outer product was clearly intended. We compute the
+        # outer product; for biased projections (SigLIP) the activation is
+        # extended with the bias-column 1 so A_new matches A_img's
+        # [P+1, P+1] shape (the reference's scalar form only "worked"
+        # because a scalar broadcasts over any shape).
         act = best_activation[0]
-        A_new = jnp.outer(act, act) if act.ndim == 1 else act.T @ act
+        if proj_has_bias:
+            act = jnp.concatenate([act, jnp.ones_like(act[:1])])
+        A_new = jnp.outer(act, act)
+        # Reference parity: B_new uses the InfoNCE GGN even for sigmoid
+        # (SigLIP) heads — ref:bayesvlm/epig.py:242-246 calls
+        # compute_hessian_analytic_InfoNCE unconditionally.
         B_new = hessian_infonce(best_pool_embed, label_features.embeds, head.logit_scale)
         n = hessian_n0 + i
         s0, s1 = jnp.sqrt(jnp.float32(n)), jnp.sqrt(jnp.float32(n + 1))

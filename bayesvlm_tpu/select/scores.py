@@ -138,7 +138,12 @@ def select_topk_classbalanced(
         mask = class_ids == c
         sub = prob_logits[jnp.asarray(np.nonzero(mask)[0])]
         if variant == "var":
-            score = jnp.sum(sub.var, axis=1)
+            # diag_var (not raw var): full-covariance [n, C, C] logits
+            # would otherwise produce a [n, C] score matrix that topk_exact
+            # + the global-index remap below turn into garbage indices
+            # (complexity_score's 'var' variant already goes through
+            # diag_var; for diagonal [n, C] var the two are identical).
+            score = jnp.sum(sub.diag_var, axis=1)
         else:
             score = entropy_score(sub, entropy_variant)
         _, idx = topk_exact(score, min(n, score.shape[0]))

@@ -98,3 +98,50 @@ def test_allreduce_factors_global_normalization():
     # single host: exact no-op
     A1, B1 = allreduce_factors(A0, B0, ns[0], num_hosts=1)
     np.testing.assert_array_equal(A1, A0)
+
+
+def test_sharded_infonce_block_and_precision_options(mesh):
+    """block_size / precision are honored by the sharded path (they used to
+    be silently dropped): blocked 'high' agrees with the dense fp32 single-
+    device factor to the bf16x3 error band."""
+    rng = np.random.default_rng(4)
+    src = rng.normal(size=(19, 6)).astype(np.float32)
+    tgt = rng.normal(size=(11, 6)).astype(np.float32)
+    single = np.asarray(hessian_infonce(src, tgt, 0.9))
+    sharded = np.asarray(
+        sharded_hessian_infonce(src, tgt, 0.9, mesh, block_size=2,
+                                precision="high")
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-4)
+    # exact blocking invariance at fixed precision
+    blocked = np.asarray(
+        sharded_hessian_infonce(src, tgt, 0.9, mesh, block_size=2)
+    )
+    np.testing.assert_allclose(blocked, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_siglip_block_and_chunk_options(mesh):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(13, 5)).astype(np.float32)
+    y = rng.normal(size=(9, 5)).astype(np.float32)
+    idx = rng.integers(0, 9, size=13)
+    single = np.asarray(hessian_siglip(x, idx, y, 0.6, -0.5))
+    sharded = np.asarray(
+        sharded_hessian_siglip(x, idx, y, 0.6, -0.5, mesh,
+                               block_size=2, chunk_j=4)
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_programs_are_cached(mesh):
+    """kfac_ggn calls the sharded helpers once per class batch; the jitted
+    SPMD program must be built once per (mesh, options) key, not per call."""
+    from bayesvlm_tpu.dist.hessian_allreduce import _infonce_program
+
+    rng = np.random.default_rng(6)
+    src = rng.normal(size=(16, 4)).astype(np.float32)
+    tgt = rng.normal(size=(8, 4)).astype(np.float32)
+    _ = sharded_hessian_infonce(src, tgt, 0.7, mesh)
+    hits0 = _infonce_program.cache_info().hits
+    _ = sharded_hessian_infonce(src, tgt, 0.7, mesh)
+    assert _infonce_program.cache_info().hits == hits0 + 1

@@ -112,3 +112,46 @@ def test_epig_online_pool_exhaustion_raises_cleanly():
             pool_subsampling="random", pool_max_size=5,
             hessian_n0=100,
         )
+
+
+def test_epig_online_with_biased_projection():
+    """SigLIP-style run (proj_has_bias=True): the A factors carry the bias
+    column ([P+1, P+1]) and the online Hessian update must extend the
+    activation with the bias-column 1 — it used to crash with a [P,P] vs
+    [P+1,P+1] broadcast TypeError at budget step 0."""
+    rng = np.random.default_rng(7)
+    n_pool, n_target, C, D, P = 30, 12, 4, 8, 6
+    kernel = jnp.asarray(rng.normal(size=(P, D)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    mk = lambda a: EncoderResult.create(embeds=a @ kernel + bias, activations=a)
+    pool = mk(jnp.asarray(rng.normal(size=(n_pool, P)), jnp.float32))
+    targ = mk(jnp.asarray(rng.normal(size=(n_target, P)), jnp.float32))
+    lbl = mk(jnp.asarray(rng.normal(size=(C, P)), jnp.float32))
+
+    def spd(d, s=0.1):
+        M = rng.normal(size=(d, d)).astype(np.float32)
+        return M @ M.T / d * s + np.eye(d, dtype=np.float32) * 0.2
+
+    A_img, A_txt = spd(P + 1), spd(P + 1)  # bias column included
+    B_img, B_txt = spd(D), spd(D)
+    info = dict(lambda_img=5.0, lambda_txt=5.0, n_img=10.0, n_txt=10.0)
+    head = ProbabilisticHead.create(logit_scale=1.0, logit_bias=-0.5,
+                                    has_bias=True)
+
+    selected, scores = select_epig_online(
+        label_features=lbl, pool_features=pool, target_features=targ,
+        pool_class_ids=jnp.asarray(rng.integers(0, C, size=n_pool)),
+        projection_kernel=kernel, projection_bias=bias,
+        head=head, A_img=A_img, A_txt=A_txt, B_img=B_img, B_txt=B_txt,
+        cov_info=info, budget=3, lr=1e-3, hessian_update_scale=10.0,
+        num_samples=8, seed=0,
+        projection_l2=float(jnp.sum(kernel**2)),
+        projection_num_params=kernel.size,
+        pool_max_size=20, target_max_size=10,
+        pool_subsampling="random",
+        proj_has_bias=True,
+        hessian_n0=100,
+    )
+    assert len(selected) == 3
+    assert len(set(selected)) == 3
+    assert all(np.isfinite(s) for s in scores)

@@ -188,3 +188,18 @@ def test_infonce_precision_high_close_to_highest():
     hi = np.asarray(hessian_siglip(src, idx, tgt, 2.0, -0.5))
     h = np.asarray(hessian_siglip(src, idx, tgt, 2.0, -0.5, precision="high"))
     assert np.abs(h - hi).max() / np.abs(hi).max() < 1e-3
+
+
+def test_siglip_precision_scope_restored_on_error():
+    """The matmul-precision scope in _siglip_block_stats must not leak the
+    process-wide default when tracing raises mid-body (it used to be a
+    manual __enter__/__exit__ with no try/finally)."""
+    import jax
+
+    before = jax.config.jax_default_matmul_precision
+    x = np.ones((4, 5), np.float32)
+    idx = np.zeros(4, np.int32)
+    y_bad = np.ones((3, 7), np.float32)  # D mismatch: 5 vs 7
+    with pytest.raises(Exception):
+        hessian_siglip(x, idx, y_bad, 0.5, -0.5, precision="high")
+    assert jax.config.jax_default_matmul_precision == before

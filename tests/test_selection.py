@@ -253,3 +253,34 @@ def test_knn_dedup_terminates_when_pool_cannot_reach_goal():
         # nothing trimmed: the goal is unreachable so the kept set is
         # everything fetched
         assert len(v["indices"]) == 7
+
+
+def test_select_topk_classbalanced_var_fullcov():
+    """variant='var' must score full-covariance [N, C, C] logits through
+    diag_var: the raw-var sum used to yield a [n, C] score matrix whose
+    top-k indices were silently remapped into garbage global indices."""
+    from bayesvlm_tpu.select.scores import select_topk_classbalanced
+
+    rng = np.random.default_rng(11)
+    N, C = 24, 3
+    mean = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+    M = rng.normal(size=(N, C, C)).astype(np.float32)
+    cov = jnp.asarray(M @ np.swapaxes(M, 1, 2) + np.eye(C, dtype=np.float32))
+    class_ids = jnp.asarray(rng.integers(0, C, size=N))
+
+    full = select_topk_classbalanced(
+        ProbabilisticLogits(mean=mean, var=cov), class_ids, k=6, variant="var"
+    )
+    assert np.asarray(full).ndim == 1
+    assert len(full) == 6
+    assert len(np.unique(np.asarray(full))) == 6
+    assert all(0 <= int(i) < N for i in np.asarray(full))
+
+    # equals the diagonal-storage scoring of the same variances
+    diag = select_topk_classbalanced(
+        ProbabilisticLogits(
+            mean=mean, var=jnp.diagonal(cov, axis1=-2, axis2=-1)
+        ),
+        class_ids, k=6, variant="var",
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(diag))

@@ -137,3 +137,17 @@ def test_noncontiguous_input_to_writers(tmp_path):
     np.testing.assert_array_equal(tc.load_pt_array(tmp_path / "a.pt"), arr)
     tc._save_pt_numpy(arr, tmp_path / "b.pt")
     np.testing.assert_array_equal(tc._load_pt_numpy(tmp_path / "b.pt"), arr)
+
+
+def test_unknown_storage_type_raises():
+    """persistent_load must refuse storage types outside _DTYPE_MAP instead
+    of silently reinterpreting the raw bytes as float32."""
+    import pickle
+
+    import pytest
+
+    from bayesvlm_tpu.io.torch_compat import _PtUnpickler
+
+    pid = ("storage", "ComplexFloatStorage", "0", "cpu", 4)
+    with pytest.raises(pickle.UnpicklingError, match="ComplexFloatStorage"):
+        _PtUnpickler.persistent_load(object(), pid)
