@@ -220,6 +220,29 @@ def _mha_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     o_ref[0] = x_raw + out.astype(o_ref.dtype)
 
 
+def _pick_head_group(num_heads: int, T: int, D: int, itemsize: int) -> int:
+    """Largest head-group whose fp32 scores scratch + the 4 resident
+    weight matrices fit the VMEM budget (~16 MB, 11 MB headroom).
+
+    The result must DIVIDE num_heads — _mha_block_kernel loops
+    range(num_heads // group) head-groups, so a non-divisor would
+    silently drop the trailing heads (their output lanes would read
+    stale scratch). Step down through divisors until the scratch fits.
+    """
+    def scratch_bytes(g):
+        pad_t = ((T + 7) // 8) * 8
+        pad_l = ((T + 127) // 128) * 128
+        return g * pad_t * pad_l * 4
+
+    weight_bytes = 4 * D * D * itemsize
+    group = num_heads
+    while group > 1 and scratch_bytes(group) + weight_bytes > 11 * 2**20:
+        group -= 1
+        while num_heads % group:
+            group -= 1
+    return group
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "ln_eps"))
 def fused_attention_block(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
                           wv, bv, wo, bo, num_heads: int,
@@ -229,16 +252,7 @@ def fused_attention_block(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
     bf16, biases [D], LN params fp32."""
     B, T, D = x.shape
     head_dim = D // num_heads
-    group = num_heads
-    # fp32 scores scratch for `group` heads + 4 resident weight matrices
-    # must fit VMEM (~16 MB); halve the group until it does.
-    def scratch_bytes(g):
-        pad_t = ((T + 7) // 8) * 8
-        pad_l = ((T + 127) // 128) * 128
-        return g * pad_t * pad_l * 4
-    weight_bytes = 4 * D * D * x.dtype.itemsize
-    while group > 1 and scratch_bytes(group) + weight_bytes > 11 * 2**20:
-        group //= 2
+    group = _pick_head_group(num_heads, T, D, x.dtype.itemsize)
 
     kernel = functools.partial(
         _mha_block_kernel, num_heads=num_heads, head_dim=head_dim,

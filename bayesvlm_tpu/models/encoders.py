@@ -176,6 +176,51 @@ class _EncoderBase:
         return self.with_projection(proj)
 
 
+def _image_forward_graph(module, family: str, params, quant, pixels) -> EncoderResult:
+    """Pure traceable image forward (no jit, no sharding): uint8
+    normalize lane + family-specific output packing. Shared by the
+    jitted __call__ path and the AOT-fused serving program
+    (pipeline.ProbabilisticVLM.compile_serving)."""
+    if pixels.dtype == jnp.uint8:
+        # uint8 ingest lane: /255 + mean/std normalize in-graph
+        # (XLA fuses it into the patch conv); the host ships raw
+        # uint8 crops — 4x less H2D traffic (data/transforms.py
+        # *_uint8 variants, native decode_batch_u8)
+        from bayesvlm_tpu.data.transforms import NORMALIZATION_BY_FAMILY
+
+        mean, std = NORMALIZATION_BY_FAMILY[family]
+        x = pixels.astype(jnp.float32) / 255.0
+        pixels = (x - jnp.asarray(mean, jnp.float32)) \
+            / jnp.asarray(std, jnp.float32)
+    cols = {"params": params}
+    if quant is not None:
+        cols["int8"] = quant
+    out = module.apply(cols, pixels)
+    if family == "siglip":
+        embeds, activations, residuals = out
+        return EncoderResult(embeds=embeds, activations=activations, residuals=residuals)
+    embeds, activations = out
+    return EncoderResult.create(embeds=embeds, activations=activations)
+
+
+# Jitted forwards are cached per (module, family) at module level: flax
+# modules hash/compare structurally, and every dataclasses.replace-derived
+# encoder (with_projection, with_mesh, prequantize_int8, load_projection_
+# weights) keeps the same module object — a per-instance jax.jit in
+# __post_init__ would discard the trace cache on each derivation and
+# re-trace the whole tower (minutes per compile on a 1-vCPU host when the
+# persistent cache misses).
+@partial(jax.jit, static_argnames=("module", "family"))
+def _image_fwd(module, family, params, quant, pixels):
+    return _image_forward_graph(module, family, params, quant, pixels)
+
+
+@partial(jax.jit, static_argnames=("module",))
+def _text_fwd(module, params, input_ids):
+    embeds, activations = module.apply({"params": params}, input_ids)
+    return EncoderResult.create(embeds=embeds, activations=activations)
+
+
 @dataclasses.dataclass
 class ImageEncoder(_EncoderBase):
     """Vision tower wrapper. Call with NHWC float images."""
@@ -187,35 +232,15 @@ class ImageEncoder(_EncoderBase):
     # call so the cache can never silently outlive its weights)
     quant_src: Any = None
 
-    def __post_init__(self):
-        self._fwd = jax.jit(self.forward_graph)
-
     def forward_graph(self, params, quant, pixels) -> EncoderResult:
-        """Pure traceable forward (no jit, no sharding): uint8
-        normalize lane + family-specific output packing. Shared by the
-        jitted __call__ path and the AOT-fused serving program
-        (pipeline.ProbabilisticVLM.compile_serving)."""
-        family = self.config.family
-        if pixels.dtype == jnp.uint8:
-            # uint8 ingest lane: /255 + mean/std normalize in-graph
-            # (XLA fuses it into the patch conv); the host ships raw
-            # uint8 crops — 4x less H2D traffic (data/transforms.py
-            # *_uint8 variants, native decode_batch_u8)
-            from bayesvlm_tpu.data.transforms import NORMALIZATION_BY_FAMILY
+        """Pure traceable forward — see _image_forward_graph."""
+        return _image_forward_graph(
+            self.module, self.config.family, params, quant, pixels
+        )
 
-            mean, std = NORMALIZATION_BY_FAMILY[family]
-            x = pixels.astype(jnp.float32) / 255.0
-            pixels = (x - jnp.asarray(mean, jnp.float32)) \
-                / jnp.asarray(std, jnp.float32)
-        cols = {"params": params}
-        if quant is not None:
-            cols["int8"] = quant
-        out = self.module.apply(cols, pixels)
-        if family == "siglip":
-            embeds, activations, residuals = out
-            return EncoderResult(embeds=embeds, activations=activations, residuals=residuals)
-        embeds, activations = out
-        return EncoderResult.create(embeds=embeds, activations=activations)
+    def _fwd(self, params, quant, pixels) -> EncoderResult:
+        return _image_fwd(self.module, self.config.family, params, quant,
+                          pixels)
 
     def __call__(self, images: Array) -> EncoderResult:
         if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
@@ -304,19 +329,9 @@ class TextEncoder(_EncoderBase):
 
     tokenizer: Optional[Callable] = None
 
-    def __post_init__(self):
-        family = self.config.family
-
-        @jax.jit
-        def fwd(params, input_ids):
-            embeds, activations = self.module.apply({"params": params}, input_ids)
-            return EncoderResult.create(embeds=embeds, activations=activations)
-
-        self._fwd = fwd
-
     def __call__(self, input_ids: Array) -> EncoderResult:
         xs, orig = self._shard_batch(jnp.asarray(input_ids))
-        res = self._fwd(self.params, xs)
+        res = _text_fwd(self.module, self.params, xs)
         return res if orig is None else res[:orig]
 
     def encode_texts(self, texts) -> EncoderResult:
@@ -371,8 +386,12 @@ def _make_towers(config: VLMConfig, dtype, remat: bool):
     )
 
 
-def init_params(config: VLMConfig, seed: int = 0, dtype=jnp.float32, remat=False):
-    vision, text = _make_towers(config, dtype, remat)
+def init_params(config: VLMConfig, seed: int = 0, dtype=jnp.float32, remat=False,
+                towers=None):
+    """Random-init both towers' params. `towers=(vision, text)` reuses
+    already-constructed modules instead of building fresh ones (load_model
+    passes its own so flags like remat stay in sync)."""
+    vision, text = towers if towers is not None else _make_towers(config, dtype, remat)
     k1, k2 = jax.random.split(jax.random.key(seed))
     img = jnp.zeros((1, config.vision.image_size, config.vision.image_size, 3), dtype)
     ids = jnp.zeros((1, config.text.max_length), jnp.int32)
@@ -457,7 +476,8 @@ def load_model(
             if scale is None:
                 scale = DEFAULT_LOGIT_SCALE[config.family]
     else:
-        vparams, tparams = init_params(config, seed=seed, dtype=dtype)
+        vparams, tparams = init_params(config, seed=seed, dtype=dtype,
+                                       towers=(vision, text))
         scale = DEFAULT_LOGIT_SCALE[config.family]
         bias = DEFAULT_LOGIT_BIAS[config.family]
 

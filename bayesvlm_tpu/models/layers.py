@@ -167,7 +167,12 @@ class MultiHeadAttention(nn.Module):
             v = dense("v_proj")(keys_values)
             out_proj = dense("out_proj")
 
-        if self.use_pallas and mask is None:
+        # The fused kernel blocks q/k/v from q's sequence length, so it
+        # requires Tq == Tk (cross-attention with a shorter query — e.g. a
+        # probe token over patch tokens — would silently attend to only
+        # the first Tq keys). No current config hits that combination;
+        # guard anyway and fall back to the einsum path.
+        if self.use_pallas and mask is None and q.shape[1] == k.shape[1]:
             from bayesvlm_tpu.models.attention_pallas import fused_attention
 
             out = fused_attention(q, k, v, self.num_heads)
@@ -180,12 +185,10 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(B, Tk, H, Dh)
 
         if self.use_fused and mask is None:
-            # XLA fused (flash) attention path — fp32 softmax internally
+            # XLA fused (flash) attention path — fp32 softmax internally.
+            # Masked calls use the einsum path below: an additive mask is
+            # not necessarily causal, so it must be applied as given.
             out = jax.nn.dot_product_attention(q, k, v)
-        elif self.use_fused and mask is not None and Tq == Tk:
-            out = jax.nn.dot_product_attention(
-                q, k, v, is_causal=True
-            )
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(Dh).astype(q.dtype)
             if self.softmax_fp32:

@@ -76,6 +76,22 @@ class ProbabilisticVLM:
             model_str, weights_dir=weights_dir, dtype=jdtype,
             mlp_int8=mlp_int8, attn_int8=attn_int8,
         )
+        if jdtype != jnp.float32:
+            # pre-cast the GEMM weights to the compute dtype — otherwise
+            # every forward pays the fp32->bf16 convert on device
+            # (~2.9 ms/batch at ViT-L B=64; bit-identical results — see
+            # cast_gemm_params). The benches do this; the packaged API
+            # must too.
+            import dataclasses as _dc
+
+            from bayesvlm_tpu.models.encoders import cast_gemm_params
+
+            image_encoder = _dc.replace(
+                image_encoder,
+                params=cast_gemm_params(image_encoder.params, jdtype))
+            text_encoder = _dc.replace(
+                text_encoder,
+                params=cast_gemm_params(text_encoder.params, jdtype))
         mesh = resolve_auto_mesh(mesh)
         if mesh is not None:
             image_encoder = image_encoder.with_mesh(mesh)

@@ -77,6 +77,16 @@ def setup_context(
 
     image_encoder, text_encoder, head = load_model(
         model_str, weights_dir=weights_dir, mlp_int8=mlp_int8)
+    # pre-cast GEMM weights to the bf16 compute dtype (bit-identical to
+    # the per-forward on-device convert it replaces; see cast_gemm_params)
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+
+    image_encoder = dataclasses.replace(
+        image_encoder,
+        params=cast_gemm_params(image_encoder.params))
+    text_encoder = dataclasses.replace(
+        text_encoder,
+        params=cast_gemm_params(text_encoder.params))
     import jax
 
     if len(jax.devices()) > 1:

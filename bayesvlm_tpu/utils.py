@@ -24,13 +24,24 @@ def get_model_url(model_str: str) -> str:
 
 
 def get_likelihood(model_type: str) -> str:
-    """'clip' -> info_nce, 'siglip'/'tiny' siglip variants -> per family
-    (ref:bayesvlm/utils.py:23-26)."""
-    if model_type == "clip":
-        return "info_nce"
+    """'clip' -> info_nce, anything else -> siglip
+    (ref:bayesvlm/utils.py:23-26).
+
+    Also accepts a full model name ('tiny-siglip', 'clip-base'): names in
+    the config registry resolve through their family, so the tiny test
+    variants map to their family's likelihood. A bare 'tiny' is ambiguous
+    (tiny-clip vs tiny-siglip) and raises.
+    """
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+
+    if model_type in CONFIGS_BY_NAME:
+        return get_likelihood_for_model(model_type)
     if model_type == "tiny":
-        return "info_nce"
-    return "siglip"
+        raise ValueError(
+            "'tiny' is ambiguous (tiny-clip vs tiny-siglip); pass the full "
+            "model name or use get_likelihood_for_model()"
+        )
+    return "info_nce" if model_type == "clip" else "siglip"
 
 
 def get_likelihood_for_model(model_str: str) -> str:

@@ -150,3 +150,37 @@ def test_cast_gemm_params_bit_identical_outputs():
     e_c, a_c = tower.apply({"params": cast}, x)
     np.testing.assert_array_equal(np.asarray(e_c, np.float32),
                                   np.asarray(e_ref, np.float32))
+
+
+def test_encoder_jit_cache_shared_across_replace():
+    """with_projection / load_projection_weights derive new encoder
+    objects via dataclasses.replace; the jitted forward must be cached on
+    the (module, family) key so derivations don't retrace the tower."""
+    from bayesvlm_tpu.models.encoders import _image_fwd
+
+    img, _, _ = load_model("tiny-clip", dtype=jnp.float32, seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    img(x)
+    size0 = _image_fwd._cache_size()
+    proj = dict(img.projection_tree())
+    proj["kernel"] = proj["kernel"] * 0.5
+    derived = img.with_projection(proj)
+    derived(x)
+    assert _image_fwd._cache_size() == size0
+
+
+def test_get_likelihood_tiny_variants():
+    """tiny-siglip must resolve to the siglip likelihood (it used to
+    return info_nce via a blanket 'tiny' branch); bare 'tiny' is
+    ambiguous and raises."""
+    import pytest as _pytest
+
+    from bayesvlm_tpu.utils import get_likelihood
+
+    assert get_likelihood("clip") == "info_nce"
+    assert get_likelihood("siglip") == "siglip"
+    assert get_likelihood("tiny-clip") == "info_nce"
+    assert get_likelihood("tiny-siglip") == "siglip"
+    with _pytest.raises(ValueError, match="ambiguous"):
+        get_likelihood("tiny")

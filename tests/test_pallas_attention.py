@@ -112,3 +112,55 @@ def test_split_key_kernel_matches_einsum():
         out = np.asarray(fused_attention(q, k, v, H, split_key=True))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
                                    err_msg=f"T={T}")
+
+
+def test_pick_head_group_always_divides_num_heads():
+    """_mha_block_kernel iterates range(num_heads // group) head-groups;
+    a non-divisor group would silently skip the trailing heads. The
+    VMEM-budget reduction must therefore step through divisors (the old
+    halving produced e.g. 3 for 14 heads at large T)."""
+    from bayesvlm_tpu.models.attention_pallas import _pick_head_group
+
+    for H in (12, 14, 16, 18, 28):
+        for T in (257, 512, 1024):
+            for D in (768, 896, 1024, 1280):
+                g = _pick_head_group(H, T, D, itemsize=2)
+                assert H % g == 0, (H, T, D, g)
+    # production ViT-L shapes keep the same group as the old halving
+    # (16 -> 4 under the VMEM budget), so perf behavior is unchanged
+    assert _pick_head_group(16, 257, 1024, 2) == 4
+    # small shapes keep the full group when the scratch fits
+    assert _pick_head_group(16, 64, 512, 2) == 16
+
+
+def test_cross_attention_with_use_pallas_falls_back():
+    """use_pallas must not route cross-attention with Tq != Tk into the
+    fused kernel (its BlockSpecs are built from q's sequence length and
+    would slice k/v to the first Tq keys). The guard falls back to the
+    einsum path, so outputs match the use_pallas=False module exactly."""
+    from bayesvlm_tpu.models.layers import MultiHeadAttention
+
+    rng = np.random.default_rng(3)
+    B, Tq, Tk, H, Dh = 2, 1, 9, 4, 8
+    D = H * Dh
+    q = jnp.asarray(rng.normal(size=(B, Tq, D)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(B, Tk, D)), jnp.float32)
+
+    ref_mod = MultiHeadAttention(hidden_size=D, num_heads=H,
+                                 dtype=jnp.float32, use_pallas=False)
+    params = ref_mod.init(jax.random.key(0), q, kv)["params"]
+    ref = ref_mod.apply({"params": params}, q, kv)
+
+    pallas_mod = MultiHeadAttention(hidden_size=D, num_heads=H,
+                                    dtype=jnp.float32, use_pallas=True)
+    out = pallas_mod.apply({"params": params}, q, kv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # same-length cross-attention (Tq == Tk) is still allowed through the
+    # kernel — shapes are what the BlockSpecs depend on, not aliasing
+    kv2 = jnp.asarray(rng.normal(size=(B, 9, D)), jnp.float32)
+    q2 = jnp.asarray(rng.normal(size=(B, 9, D)), jnp.float32)
+    ref2 = ref_mod.apply({"params": params}, q2, kv2)
+    out2 = pallas_mod.apply({"params": params}, q2, kv2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)

@@ -356,3 +356,47 @@ def test_compile_serving_bucket_ladder(hessian_dir):
 
     with pytest.raises(ValueError, match=">= 1"):
         vlm.compile_serving([0, 2])
+
+
+def test_from_pretrained_precasts_gemm_weights(hessian_dir):
+    """The packaged bf16 API must ship pre-cast GEMM weights (the benches
+    always did; without this every forward pays an on-device fp32->bf16
+    convert of every attention/MLP weight). Projection/LN params stay
+    fp32, and bf16 results are identical to the uncast encoder's."""
+    import jax
+
+    vlm = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="bf16",
+        prior_num_steps=5, mesh=None,
+    )
+    params = vlm.image_encoder.params
+    layer0 = jax.tree_util.tree_map(lambda x: x, params)
+    # GEMM weights bf16
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    gemm = [l for p, l in flat if any(
+        getattr(k, "key", None) in ("q_proj", "fc1", "fc2") for k in p)]
+    assert gemm and all(l.dtype == jnp.bfloat16 for l in gemm)
+    # Laplace projection + LN stay fp32
+    proj = jax.tree_util.tree_leaves(vlm.image_encoder.projection_tree())
+    assert all(l.dtype == jnp.float32 for l in proj)
+    ln = [l for p, l in flat if any(
+        "layer_norm" in str(getattr(k, "key", "")) or
+        "layernorm" in str(getattr(k, "key", "")) for k in p)]
+    assert all(l.dtype == jnp.float32 for l in ln)
+    # numerics identical to the uncast bf16 encoder (the dtype=bf16
+    # towers cast per call; pre-casting must be a pure no-op on values)
+    vlm_ref = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", str(hessian_dir), dtype="bf16",
+        prior_num_steps=5, mesh=None,
+    )
+    import dataclasses as _dc
+
+    from bayesvlm_tpu.models import load_model as _lm
+
+    raw_img, _, _ = _lm("tiny-clip", dtype=jnp.bfloat16)
+    vlm_ref.image_encoder = _dc.replace(vlm_ref.image_encoder,
+                                        params=raw_img.params)
+    imgs = _images()
+    a = np.asarray(vlm.image_encoder(jnp.asarray(imgs)).embeds)
+    b = np.asarray(vlm_ref.image_encoder(jnp.asarray(imgs)).embeds)
+    np.testing.assert_array_equal(a, b)
