@@ -444,7 +444,10 @@ def bench_serve():
         detail["batches"][f"B{B}"] = {
             "compute_ms": round(compute_ms, 2),
             "wall_ms_p50": round(walls[len(walls) // 2], 1),
-            "wall_ms_p95": round(walls[int(len(walls) * 0.95) - 1], 1),
+            # nearest-rank p95: ceil(0.95 n) - 1 (int(0.95 n) - 1 lands on
+            # ~p90 whenever 0.95 n is not an integer, understating the tail)
+            "wall_ms_p95": round(
+                walls[-(-len(walls) * 95 // 100) - 1], 1),
             "wall_ms_p50_aot": round(walls_aot[len(walls_aot) // 2], 1),
         }
         if B == 1:

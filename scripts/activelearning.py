@@ -75,6 +75,11 @@ def main(
     epig_pool_max_size: int = 40_000,
     epig_target_max_size: int = 20_000,
 ):
+    if only_epig and without_epig:
+        # would otherwise select ZERO strategies and burn the full feature
+        # precompute before writing an empty subset JSON (the kmeans
+        # variant guards this identically)
+        raise ValueError("Cannot set both only_epig and without_epig")
 
     from bayesvlm_tpu.inference.predictions import make_predictions
     from bayesvlm_tpu.select.epig import select_epig_online

@@ -8,6 +8,7 @@ Usage:
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -35,14 +36,21 @@ def main(model_str: str, snapshot: str, out: str):
     ):
         params = convert_from_snapshot(snapshot, config.family, tower, num_layers)
         blob = serialization.msgpack_serialize(params)
-        (out_dir / f"{tower}.msgpack").write_bytes(blob)
+        # tmp + atomic rename: an interrupted run must never leave a
+        # truncated artifact that later loads half-read (preflight's
+        # skip-guard trusts existing files)
+        tmp = out_dir / f".{tower}.msgpack.tmp"
+        tmp.write_bytes(blob)
+        os.replace(tmp, out_dir / f"{tower}.msgpack")
         n = sum(p.size for p in _flatten(params))
         print(f"{tower}: {n / 1e6:.1f}M params -> {out_dir / f'{tower}.msgpack'}")
 
     scale, bias = load_logit_scale_bias(_load_state_dict(Path(snapshot)))
-    (out_dir / "head.json").write_text(
+    tmp = out_dir / ".head.json.tmp"
+    tmp.write_text(
         __import__("json").dumps({"logit_scale": scale, "logit_bias": bias})
     )
+    os.replace(tmp, out_dir / "head.json")
     print(f"head: scale={scale} bias={bias}")
 
 

@@ -83,6 +83,16 @@ def main(
 
     image_encoder, text_encoder, head = load_model(
         model_str, weights_dir=weights_dir, mlp_int8=mlp_int8)
+    # pre-cast GEMM weights to the bf16 compute dtype (bit-identical to
+    # the per-forward on-device convert it replaces; see cast_gemm_params)
+    import dataclasses as _dc
+
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+
+    image_encoder = _dc.replace(
+        image_encoder, params=cast_gemm_params(image_encoder.params))
+    text_encoder = _dc.replace(
+        text_encoder, params=cast_gemm_params(text_encoder.params))
     image_encoder = image_encoder.prequantize_int8()  # no-op unless mlp_int8
     if tokenizer_dir is not None:
         text_encoder.tokenizer = HFTokenizer.from_local(
@@ -114,7 +124,18 @@ def main(
         )
         print("[native] batched C++ JPEG decode lane enabled "
               "(bilinear; see BASELINE.md for the measured delta)")
-    if multi_host and hasattr(dm, "shard_for_host"):
+    if multi_host:
+        if not hasattr(dm, "shard_for_host"):
+            # without per-host sharding every host would process the FULL
+            # dataset and allreduce_factors would combine the duplicated
+            # sums as if disjoint — factors silently inflated by
+            # sqrt(num_hosts). Fail fast instead.
+            raise ValueError(
+                f"multi-host runs need per-host data sharding, but dataset "
+                f"'{dataset}' does not support shard_for_host (currently "
+                f"only the webdataset-tar modules do); run single-host or "
+                f"use a shardable dataset"
+            )
         # per-host webdataset tar assignment (mirrors the num_files slicing
         # contract at ref:hessian_estimation.py:152-154, split over hosts)
         dm.shard_for_host(ctx.host_id, ctx.num_hosts)

@@ -56,7 +56,14 @@ def step_convert(model_str: str, snapshot: str, out_dir: Path,
                  force: bool = False) -> Path:
     import convert_weights
 
-    if (out_dir / "vision.msgpack").exists() and not force:
+    # head.json is written LAST (atomically) by convert_weights, so its
+    # presence proves the whole artifact set landed; checking only the
+    # first artifact would trust an interrupted conversion
+    complete = all(
+        (out_dir / f).exists()
+        for f in ("vision.msgpack", "text.msgpack", "head.json")
+    )
+    if complete and not force:
         print(f"[convert] cache exists at {out_dir}, skipping (use --force_convert to redo)")
         return out_dir
     print(f"[convert] {snapshot} -> {out_dir}")

@@ -17,7 +17,12 @@ import numpy as np
 
 SUPPORTED_DATASETS = [
     "flowers102", "food101", "stanfordcars", "eurosat", "cifar100", "dtd",
-    "synthetic",  # TPU-native extra for smoke runs
+    # TPU-native extras beyond ref:scripts/zeroshot.py:14 — smoke runs and
+    # the ImageNet modules the data factory registers (preflight.py's
+    # documented ImageNet-1k north-star row runs through these)
+    "synthetic",
+    "imagenet-val-wds", "imagenet-100", "imagenet-50",
+    "imagenet-r", "imagenet-sketch",
 ]
 
 
@@ -76,6 +81,17 @@ def main(
         model_str, weights_dir=weights_dir, dtype=jdtype,
         mlp_int8=mlp_int8, attn_int8=attn_int8,
     )
+    if jdtype != jnp.float32:
+        # pre-cast GEMM weights to the compute dtype (bit-identical to the
+        # per-forward on-device convert it replaces; see cast_gemm_params)
+        import dataclasses as _dc
+
+        from bayesvlm_tpu.models.encoders import cast_gemm_params
+
+        image_encoder = _dc.replace(
+            image_encoder, params=cast_gemm_params(image_encoder.params, jdtype))
+        text_encoder = _dc.replace(
+            text_encoder, params=cast_gemm_params(text_encoder.params, jdtype))
     import jax
 
     mesh = None

@@ -146,3 +146,18 @@ def test_activelearning_resume_uses_checkpoint(al_run):
     # (ref:activelearning_kmeans.py:424): no checkpoint rewritten
     for p, m in mtimes_before.items():
         assert p.stat().st_mtime == m, f"checkpoint rewritten: {p}"
+
+
+def test_conflicting_epig_flags_fail_fast():
+    """--only_epig + --without_epig would select zero strategies; the
+    driver must raise before the expensive feature precompute (the kmeans
+    variant has the identical guard)."""
+    import activelearning
+
+    with pytest.raises(ValueError, match="only_epig and without_epig"):
+        activelearning.main(
+            dataset="synthetic", hessian_dir="/nonexistent",
+            experiment_dir="/nonexistent", model_str="tiny-clip",
+            project_name="t", hessian_scale=1.0, subset_size=4,
+            only_epig=True, without_epig=True,
+        )
