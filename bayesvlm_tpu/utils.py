@@ -66,3 +66,79 @@ def apply_device_flag(device: str) -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass  # backend already initialized; leave platform as-is
+
+
+_cache_hardened = False
+
+
+def harden_compilation_cache() -> None:
+    """Make jax's persistent compile-cache writes atomic (tmp + os.replace).
+
+    jax 0.9's ``LRUCache.put`` writes entries with ``Path.write_bytes`` —
+    not atomic. A writer killed mid-write (bench.py's timeout-bounded
+    ``--inner`` children are killed exactly like this) leaves a torn entry
+    on disk, and a concurrent reader in another process can see a partial
+    file; either way ``backend.deserialize_executable`` SEGFAULTS on
+    truncated bytes (observed twice in full-suite runs at
+    ``compilation_cache.get_executable_and_time``). Writing to a temp file
+    in the same directory and ``os.replace``-ing it in makes every entry
+    either absent or complete.
+
+    Idempotent; call before the first jit in any process that enables
+    ``jax_compilation_cache_dir``. No-ops (with a warning) if jax's cache
+    internals have moved.
+    """
+    global _cache_hardened
+    if _cache_hardened:
+        return
+    try:
+        import os
+        import time
+        import uuid
+        import warnings
+
+        from jax._src import lru_cache as _lru
+
+        cache_suffix = _lru._CACHE_SUFFIX
+        atime_suffix = _lru._ATIME_SUFFIX
+
+        def _atomic_put(self, key, val):
+            if not key:
+                raise ValueError("key cannot be empty")
+            if self.eviction_enabled and len(val) > self.max_size:
+                warnings.warn(
+                    f"Cache value for key {key!r} of size {len(val)} bytes "
+                    f"exceeds the maximum cache size of {self.max_size} bytes"
+                )
+                return
+            cache_path = self.path / f"{key}{cache_suffix}"
+            if self.eviction_enabled:
+                self.lock.acquire(timeout=self.lock_timeout_secs)
+            try:
+                if cache_path.exists():
+                    return
+                self._evict_if_needed(additional_size=len(val))
+                tmp_path = self.path / f"{key}.{uuid.uuid4().hex}.tmp"
+                try:
+                    tmp_path.write_bytes(val)
+                    os.replace(tmp_path, cache_path)
+                except BaseException:
+                    tmp_path.unlink(missing_ok=True)
+                    raise
+                if self.eviction_enabled:
+                    timestamp = time.time_ns().to_bytes(8, "little")
+                    atime_path = self.path / f"{key}{atime_suffix}"
+                    atime_path.write_bytes(timestamp)
+            finally:
+                if self.eviction_enabled:
+                    self.lock.release()
+
+        _lru.LRUCache.put = _atomic_put
+        _cache_hardened = True
+    except Exception as exc:  # jax internals moved: keep non-atomic writes
+        import warnings
+
+        warnings.warn(
+            f"harden_compilation_cache: could not patch jax LRUCache "
+            f"({exc!r}); persistent-cache writes stay non-atomic"
+        )

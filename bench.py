@@ -30,6 +30,20 @@ A100_BASELINE_IMG_S = 1000.0
 N_CHIPS_TARGET = 8  # v5e-8 slice; DP-linear workload
 
 
+def _enable_compile_cache():
+    """Shared persistent compile cache with atomic (torn-write-proof) puts —
+    this process's --inner children are killed by timeouts mid-run, and a
+    kill during jax's non-atomic cache write leaves an entry that segfaults
+    later readers (see utils.harden_compilation_cache)."""
+    import jax
+
+    from bayesvlm_tpu.utils import harden_compilation_cache
+
+    harden_compilation_cache()
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def _best_ms(loop, args, n_iter, reps=3):
     """Best per-iteration wall time of a jitted in-graph serialized loop
     (the tunnel-safe timing recipe: each iteration depends on the
@@ -208,8 +222,7 @@ def bench_hessian():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     from bayesvlm_tpu.bayes.hessians import activation_gram, hessian_infonce
 
@@ -251,8 +264,7 @@ def bench_epig():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     from bayesvlm_tpu.select.epig import epig_from_probs_using_matmul
 
@@ -289,8 +301,7 @@ def bench_knn():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     from bayesvlm_tpu.ops import topk_exact
     from bayesvlm_tpu.select.knn import expected_cosine_similarity
@@ -351,8 +362,7 @@ def bench_serve():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     import dataclasses
 
@@ -531,8 +541,7 @@ def bench_stage1():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     from bayesvlm_tpu.bayes.estimation import kfac_ggn
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
@@ -685,8 +694,7 @@ def bench_family():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     from bayesvlm_tpu.models.clip import CLIPVisionTower
     from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
@@ -750,8 +758,7 @@ def bench_int8():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     from bayesvlm_tpu.models.clip import CLIPVisionTower
     from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
@@ -805,8 +812,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compile_cache()
 
     import dataclasses
 
@@ -963,6 +969,16 @@ def _start_parent_watchdog():
 
 
 if __name__ == "__main__":
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(
+            "usage: python bench.py [--metric NAME] [--inner]\n"
+            f"metrics: {', '.join(sorted(_METRIC_FNS))} (default: headline)\n"
+            "env: BVT_BENCH_PROBE_BUDGET_S (tunnel-probe budget/attempt), "
+            "BVT_BENCH_INNER_TIMEOUT_S (per-metric child timeout)\n"
+            "Prints one JSON line per run; rc=1 with a structured error "
+            "line if the TPU stays unreachable."
+        )
+        sys.exit(0)
     metric = _pick_metric(sys.argv[1:])
     if "--inner" in sys.argv:
         _start_parent_watchdog()

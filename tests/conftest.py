@@ -20,6 +20,12 @@ if str(REPO_ROOT) not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # env var alone is overridden by axon
+
+# Atomic cache puts: a process killed mid-write (bench --inner timeouts)
+# leaves a torn entry whose deserialization SEGFAULTS later readers.
+from bayesvlm_tpu.utils import harden_compilation_cache  # noqa: E402
+
+harden_compilation_cache()
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
