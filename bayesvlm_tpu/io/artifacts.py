@@ -42,10 +42,27 @@ def load_hessians(
     return_info: bool = False,
 ):
     """Raw A, B factors (+ info) for one direction
-    (ref:bayesvlm/hessians.py:203-217)."""
+    (ref:bayesvlm/hessians.py:203-217).
+
+    Falls back to the orbax lane (``io/orbax_ckpt.py``,
+    ``<la_dir>/factors_orbax``) when the ``.pt`` files are absent, so
+    consumers read either artifact format transparently."""
     la_dir = Path(la_dir)
-    A = jnp.asarray(load_pt_array(la_dir / f"A_{tag}_analytic.pt"), jnp.float32)
-    B = jnp.asarray(load_pt_array(la_dir / f"B_{tag}_analytic.pt"), jnp.float32)
+    A_path = la_dir / f"A_{tag}_analytic.pt"
+    B_path = la_dir / f"B_{tag}_analytic.pt"
+    if not (A_path.exists() and B_path.exists()) \
+            and (la_dir / "factors_orbax").exists():
+        from bayesvlm_tpu.io.orbax_ckpt import load_hessians_orbax
+
+        A, B = load_hessians_orbax(la_dir, tag)
+        A = jnp.asarray(A, jnp.float32)
+        B = jnp.asarray(B, jnp.float32)
+        if not return_info:
+            return A, B
+        with open(la_dir / "prior_precision_analytic.json") as f:
+            return A, B, json.load(f)
+    A = jnp.asarray(load_pt_array(A_path), jnp.float32)
+    B = jnp.asarray(load_pt_array(B_path), jnp.float32)
     if not return_info:
         return A, B
     with open(la_dir / "prior_precision_analytic.json") as f:

@@ -50,6 +50,7 @@ def main(
     dist_global_batch: bool = False,
     u8_pipeline: bool = False,
     mlp_int8: bool = False,
+    save_orbax: bool = False,
 ):
     from bayesvlm_tpu.bayes.estimation import kfac_ggn
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
@@ -261,6 +262,13 @@ def main(
         save_prior_precision(
             hessian_dir, lambda_img, n_init_img, lambda_txt, n_init_txt
         )
+        if save_orbax:
+            # production lane: one sharded orbax pytree alongside the .pt
+            # contract files (either lane readable; artifacts.load_hessians
+            # falls back to it when the .pt files are absent)
+            from bayesvlm_tpu.io.orbax_ckpt import save_hessians_orbax
+
+            save_hessians_orbax(hessian_dir, A_img, B_img, A_txt, B_txt)
     print(json.dumps({"lambda_img": lambda_img, "lambda_txt": lambda_txt}))
 
 
@@ -324,6 +332,11 @@ if __name__ == "__main__":
         help="opt into the native C++ batched JPEG decode lane (bilinear "
         "resampling vs the default PIL bicubic; delta in BASELINE.md)")
     parser.add_argument(
+        "--save_orbax", action="store_true",
+        help="additionally write the K-FAC factors as an orbax checkpoint "
+        "(<hessian_dir>/factors_orbax) — the TPU-native sharded/async "
+        "artifact lane; .pt files remain the reference-parity contract")
+    parser.add_argument(
         "--u8_pipeline", action="store_true",
         help="ship raw uint8 crops to the device and normalize in-graph "
         "(4x less host->device traffic; numerically equivalent up to "
@@ -360,4 +373,5 @@ if __name__ == "__main__":
         dist_global_batch=args.dist_global_batch,
         u8_pipeline=args.u8_pipeline,
         mlp_int8=args.mlp_int8,
+        save_orbax=args.save_orbax,
     )

@@ -63,6 +63,7 @@ def test_hessian_estimation_cli_on_laion_tars(tmp_path, monkeypatch):
         lr=1e-2,
         num_steps=30,
         use_mesh=True,             # exercises the virtual 8-device psum path
+        save_orbax=True,           # additionally write the orbax factor lane
     )
 
     # artifact contract
@@ -97,6 +98,20 @@ def test_hessian_estimation_cli_on_laion_tars(tmp_path, monkeypatch):
         n_init_txt=1.0, n_init_img=1.0, lr=1e-2, num_steps=30,
     )
     assert (hessian_dir / "A_img_analytic.pt").stat().st_mtime == mtime
+
+    # orbax lane: factors saved alongside the .pt contract, and
+    # artifacts.load_hessians falls back to them when the .pt files go away
+    from bayesvlm_tpu.io.artifacts import load_hessians
+
+    assert (hessian_dir / "factors_orbax").exists()
+    A_pt, B_pt = load_hessians(hessian_dir, "img")
+    for f in ("A_img_analytic.pt", "B_img_analytic.pt",
+              "A_txt_analytic.pt", "B_txt_analytic.pt"):
+        (hessian_dir / f).unlink()
+    A_ox, B_ox, info_ox = load_hessians(hessian_dir, "img", return_info=True)
+    np.testing.assert_array_equal(np.asarray(A_ox), np.asarray(A_pt))
+    np.testing.assert_array_equal(np.asarray(B_ox), np.asarray(B_pt))
+    assert info_ox == info
 
 
 def test_cli_sharded_equals_unsharded_factors(tmp_path, monkeypatch):
