@@ -165,10 +165,11 @@ def load_pytree(
                 like,
             )
             return ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
-        if shardings is not None:
-            abstract = _abstract_tree(path, shardings)
-            return ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
-        return ckptr.restore(path, args=ocp.args.StandardRestore())
+        # restore against the stored metadata even when no shardings are
+        # requested — an unguided StandardRestore() is topology-sensitive
+        # (and warns); the abstract tree pins shapes/dtypes explicitly
+        abstract = _abstract_tree(path, shardings)
+        return ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
 
 
 def checkpoint_metadata(path: PathLike) -> Any:
@@ -226,12 +227,10 @@ class StepCheckpoints:
             )
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(abstract))
-        if shardings is not None:
-            path = Path(self._mgr.directory) / str(step) / "default"
-            abstract = _abstract_tree(path, shardings)
-            return self._mgr.restore(
-                step, args=ocp.args.StandardRestore(abstract))
-        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+        path = Path(self._mgr.directory) / str(step) / "default"
+        abstract = _abstract_tree(path, shardings)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
