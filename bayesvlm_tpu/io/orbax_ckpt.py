@@ -124,8 +124,11 @@ def _abstract_tree(path: Path, shardings: Optional[ShardingLike]) -> Any:
         shape = tuple(shape) if shape is not None else ()
         if callable(s) and not isinstance(s, jax.sharding.Sharding):
             s = s(m)
-        if s is not None and len(shape) == 0:
-            s = None  # scalars restore unsharded; meshes don't apply
+        if isinstance(s, jax.sharding.NamedSharding) and len(shape) == 0:
+            # scalars can't take a partitioned spec; restore them
+            # replicated over the same mesh (global => multi-process safe)
+            s = jax.sharding.NamedSharding(
+                s.mesh, jax.sharding.PartitionSpec())
         return jax.ShapeDtypeStruct(shape, dtype, sharding=s)
 
     if shardings is None or isinstance(shardings, jax.sharding.Sharding) \
@@ -169,7 +172,22 @@ def load_pytree(
         # requested — an unguided StandardRestore() is topology-sensitive
         # (and warns); the abstract tree pins shapes/dtypes explicitly
         abstract = _abstract_tree(path, shardings)
-        return ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
+        try:
+            return ckptr.restore(
+                path, args=ocp.args.StandardRestore(abstract))
+        except ValueError:
+            if shardings is not None:
+                raise
+            # cross-topology restore: the stored sharding references a
+            # device topology that doesn't exist here (e.g. a checkpoint
+            # written by a 2-process mesh read back single-process), so
+            # orbax can't populate shardings from the sharding file. Land
+            # every leaf on the default local device instead — the standard
+            # "restore a slice checkpoint on one host for inspection" path.
+            single = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+            abstract = _abstract_tree(path, single)
+            return ckptr.restore(
+                path, args=ocp.args.StandardRestore(abstract))
 
 
 def checkpoint_metadata(path: PathLike) -> Any:
@@ -229,8 +247,17 @@ class StepCheckpoints:
                 step, args=ocp.args.StandardRestore(abstract))
         path = Path(self._mgr.directory) / str(step) / "default"
         abstract = _abstract_tree(path, shardings)
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except ValueError:
+            if shardings is not None:
+                raise
+            # cross-topology fallback — see load_pytree
+            single = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+            abstract = _abstract_tree(path, single)
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
