@@ -64,7 +64,7 @@ class DataModule:
         subset_indices: Optional[Sequence[int]] = None,
         shots_per_class: int = 10,
         use_few_shot: bool = False,
-        few_shot_sample_seed: int = 0,
+        few_shot_sample_seed: int = 42,
     ):
         self.data_dir = Path(data_dir) if data_dir else Path(".")
         self.batch_size = batch_size

@@ -109,7 +109,7 @@ class DataModuleFactory:
         base_path: str = None,
         shots_per_class: int = 10,
         use_few_shot: bool = False,
-        few_shot_sample_seed: int = 0,
+        few_shot_sample_seed: int = 42,
         subset_indices=None,
     ):
         self.batch_size = batch_size

@@ -245,8 +245,8 @@ if __name__ == "__main__":
     parser.add_argument("--hessian_dir", type=str,
                         default="hessians/hessian_CLIP-ViT-B-32-laion2B-s34B-b79K")
     parser.add_argument("--experiment_dir", type=str,
-                        default="experiments/active-finetuning-elg")
-    parser.add_argument("--project_name", type=str, default="active-finetuning-elg")
+                        default="experiments/active-finetuning")
+    parser.add_argument("--project_name", type=str, default="active-finetuning")
     parser.add_argument("--subset_size", type=int, default=50)
     parser.add_argument("--hessian_scale", type=float, default=10)
     parser.add_argument("--predictions_batch_size", type=int, default=256)

@@ -52,11 +52,11 @@ def main(
     k_clusters: int = 1000,
     predictions_batch_size: int = 256,
     precompute_batch_size: int = 256,
-    precompute_num_workers: int = 8,
+    precompute_num_workers: int = 4,
     finetune_lr: float = 1e-5,
     finetune_wd: float = 5e-2,
     finetune_epochs: int = 100,
-    finetune_batch_size: int = 30,
+    finetune_batch_size: int = 32,
     k_nearest: int = 1,
     knn_method: str = "wasserstein",
     knn_buffersize: int = 150,
@@ -261,8 +261,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default="clip-base")
     parser.add_argument("--dataset", type=str, default="homeoffice-da-clipart")
-    parser.add_argument("--hessian_dir", type=str,
-                        default="hessians/hessian_CLIP-ViT-B-32-laion2B-s34B-b79K")
+    parser.add_argument("--hessian_dir", type=str, required=True,
+                        help="Directory containing precomputed Hessian factors")
     parser.add_argument("--experiment_dir", type=str,
                         default="experiments/active-finetuning-kmeans")
     parser.add_argument("--project_name", type=str, default="active-finetuning-kmeans")
@@ -271,11 +271,11 @@ if __name__ == "__main__":
     parser.add_argument("--k_clusters", type=int, default=1000)
     parser.add_argument("--predictions_batch_size", type=int, default=256)
     parser.add_argument("--precompute_batch_size", type=int, default=256)
-    parser.add_argument("--precompute_num_workers", type=int, default=8)
+    parser.add_argument("--precompute_num_workers", type=int, default=4)
     parser.add_argument("--finetune_lr", type=float, default=1e-5)
     parser.add_argument("--finetune_wd", type=float, default=5e-2)
     parser.add_argument("--finetune_epochs", type=int, default=100)
-    parser.add_argument("--finetune_batch_size", type=int, default=30)
+    parser.add_argument("--finetune_batch_size", type=int, default=32)
     parser.add_argument("--k_nearest", type=int, default=1)
     parser.add_argument("--knn_method", type=str, default="wasserstein")
     parser.add_argument("--knn_buffersize", type=int, default=150)

@@ -25,12 +25,12 @@ def main(
     project_name: str,
     hessian_scale: float,
     subset_size: int,
-    llm_model_name: str = "gemini-pro",
+    llm_model_name: str = "gemini-1.5-flash-latest",
     llm_score_type: str = "difficulty",
     run_llm_difficulty: bool = False,
     run_llm_value: bool = False,
     llm_batch_size: int = 5,
-    llm_rate_limit_delay: float = 1.2,
+    llm_rate_limit_delay: float = 1.1,
     predictions_batch_size: int = 256,
     precompute_batch_size: int = 256,
     precompute_num_workers: int = 8,
@@ -252,7 +252,7 @@ if __name__ == "__main__":
     parser.add_argument("--project_name", type=str, default="active-finetuning-llm")
     parser.add_argument("--subset_size", type=int, default=50)
     parser.add_argument("--hessian_scale", type=float, default=10)
-    parser.add_argument("--llm_model_name", type=str, default="gemini-pro")
+    parser.add_argument("--llm_model_name", type=str, default="gemini-1.5-flash-latest")
     parser.add_argument("--llm_score_type", type=str, default="difficulty",
                         choices=["difficulty", "value"])
     parser.add_argument("--run_llm_difficulty", action="store_true")
@@ -260,7 +260,8 @@ if __name__ == "__main__":
     parser.add_argument("--llm_batch_size", type=int, default=5,
                         help="accepted for CLI parity (our scorer rate-"
                         "limits per call rather than per batch)")
-    parser.add_argument("--llm_rate_limit_delay", type=float, default=1.2)
+    parser.add_argument("--llm_rate_limit_delay", type=float, default=1.1,
+                        help="Min delay (sec) between LLM API calls/batches")
     parser.add_argument("--epig_lr", type=float, default=1e-4)
     parser.add_argument("--epig_hessian_update_scale", type=float, default=10.0)
     parser.add_argument(
