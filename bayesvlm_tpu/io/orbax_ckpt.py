@@ -30,6 +30,7 @@ readable by any orbax consumer, no custom handlers.
 from __future__ import annotations
 
 import shutil
+import warnings
 from pathlib import Path
 from typing import Any, Callable, Optional, Sequence, Union
 
@@ -124,11 +125,18 @@ def _abstract_tree(path: Path, shardings: Optional[ShardingLike]) -> Any:
         shape = tuple(shape) if shape is not None else ()
         if callable(s) and not isinstance(s, jax.sharding.Sharding):
             s = s(m)
-        if isinstance(s, jax.sharding.NamedSharding) and len(shape) == 0:
+        if len(shape) == 0 and isinstance(s, jax.sharding.Sharding):
             # scalars can't take a partitioned spec; restore them
-            # replicated over the same mesh (global => multi-process safe)
-            s = jax.sharding.NamedSharding(
-                s.mesh, jax.sharding.PartitionSpec())
+            # replicated over the same devices (global => multi-process safe)
+            if isinstance(s, jax.sharding.NamedSharding):
+                s = jax.sharding.NamedSharding(
+                    s.mesh, jax.sharding.PartitionSpec())
+            elif hasattr(s, "replicate"):
+                # PositionalSharding and friends
+                s = s.replicate()
+            # other sharding types (e.g. raw GSPMDSharding) pass through;
+            # callers with scalar-bearing trees should use NamedSharding /
+            # SingleDeviceSharding (the only lanes exercised in tests)
         return jax.ShapeDtypeStruct(shape, dtype, sharding=s)
 
     if shardings is None or isinstance(shardings, jax.sharding.Sharding) \
@@ -136,6 +144,33 @@ def _abstract_tree(path: Path, shardings: Optional[ShardingLike]) -> Any:
         return jax.tree_util.tree_map(lambda m: one(m, shardings), meta)
     # pytree of shardings matching the checkpoint structure
     return jax.tree_util.tree_map(one, meta, shardings)
+
+
+def _maybe_cross_topology_fallback(err: ValueError, path: Path) -> None:
+    """Gate the cross-topology restore fallback.
+
+    Returns (warning emitted) if ``err`` looks like orbax failing to
+    populate shardings written by a different device topology; re-raises
+    ``err`` otherwise so genuine metadata/dtype mismatches surface directly.
+    Multi-process callers must pass ``shardings``/``like`` — falling back
+    there would land the FULL global array on one device per process.
+    """
+    msg = str(err).lower()
+    if "sharding" not in msg and "device" not in msg and "mesh" not in msg:
+        raise err
+    if jax.process_count() > 1:
+        raise ValueError(
+            f"cross-topology restore of {path} in a multi-process run: pass "
+            "shardings= or like= so arrays land distributed (the single-"
+            "device fallback would replicate the full array per process)"
+        ) from err
+    warnings.warn(
+        f"orbax restore of {path} could not populate the stored shardings "
+        f"({err}); falling back to a single-device restore on "
+        f"{jax.local_devices()[0]} (cross-topology read-back)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def load_pytree(
@@ -175,7 +210,7 @@ def load_pytree(
         try:
             return ckptr.restore(
                 path, args=ocp.args.StandardRestore(abstract))
-        except ValueError:
+        except ValueError as err:
             if shardings is not None:
                 raise
             # cross-topology restore: the stored sharding references a
@@ -184,6 +219,7 @@ def load_pytree(
             # orbax can't populate shardings from the sharding file. Land
             # every leaf on the default local device instead — the standard
             # "restore a slice checkpoint on one host for inspection" path.
+            _maybe_cross_topology_fallback(err, path)
             single = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
             abstract = _abstract_tree(path, single)
             return ckptr.restore(
@@ -250,10 +286,11 @@ class StepCheckpoints:
         try:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(abstract))
-        except ValueError:
+        except ValueError as err:
             if shardings is not None:
                 raise
             # cross-topology fallback — see load_pytree
+            _maybe_cross_topology_fallback(err, path)
             single = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
             abstract = _abstract_tree(path, single)
             return self._mgr.restore(

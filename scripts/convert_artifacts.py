@@ -33,12 +33,9 @@ if str(REPO_ROOT) not in sys.path:
 
 
 def main(la_dir: str, to: str, out: str = None) -> Path:
-    import jax
-
     from bayesvlm_tpu.utils import apply_device_flag
 
     apply_device_flag("cpu")  # pure IO — never claim the accelerator
-    del jax
 
     from bayesvlm_tpu.io.orbax_ckpt import hessians_to_orbax, orbax_to_hessians
 

@@ -188,3 +188,21 @@ def test_orbax_factors_sharded_load(tmp_path):
 def test_load_hessians_orbax_bad_tag(tmp_path):
     with pytest.raises(ValueError):
         load_hessians_orbax(tmp_path, "imgg")
+
+
+def test_cross_topology_fallback_gate(tmp_path):
+    """ADVICE r3: the cross-topology fallback must be narrow — a
+    non-sharding ValueError re-raises unchanged; a sharding-population
+    error warns (so the single-device landing is visible in logs)."""
+    from bayesvlm_tpu.io.orbax_ckpt import _maybe_cross_topology_fallback
+
+    # genuine metadata/dtype mismatch: propagate, no silent retry
+    with pytest.raises(ValueError, match="dtype"):
+        _maybe_cross_topology_fallback(
+            ValueError("unexpected dtype in checkpoint"), tmp_path)
+
+    # sharding-population failure: emit a RuntimeWarning and return
+    with pytest.warns(RuntimeWarning, match="single-device restore"):
+        _maybe_cross_topology_fallback(
+            ValueError("sharding passed to deserialization should be "
+                       "specified"), tmp_path)
