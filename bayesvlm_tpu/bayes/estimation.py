@@ -15,6 +15,12 @@ TPU-first differences:
   - with a mesh, each class batch's source rows are sharded over the data
     axis and the [D, D]/[C] partials are psum-reduced over ICI
     (bayesvlm_tpu.dist.hessian_allreduce).
+  - mid-pass preemption survival: the reference only gates on whole
+    artifacts (ref:scripts/hessian_estimation.py:194-197) so a preempted
+    327k-pair pass loses everything; `checkpoint_dir` saves the running
+    float64 partial sums after every class batch (orbax StepCheckpoints,
+    keep-latest-2) and a preempted run resumes from the last completed
+    class batch bit-identically (same accumulation order).
 """
 
 from __future__ import annotations
@@ -30,6 +36,36 @@ from bayesvlm_tpu.bayes.hessians import (
     hessian_siglip,
 )
 
+_LIKELIHOOD_IDS = {"info_nce": 0, "siglip": 1}
+
+
+def _restore_ggn_state(ckpts, num_classes, n_sources, likelihood):
+    """Latest compatible (A, B, next_class_batch) from a StepCheckpoints
+    dir, or (0.0, 0.0, 0) when absent/stale. Stale = the run parameters
+    that define the accumulation changed; start fresh rather than mixing."""
+    step = ckpts.latest_step()
+    if step is None:
+        return 0.0, 0.0, 0
+    state = ckpts.restore(step)
+    ok = (
+        int(state["num_classes"]) == num_classes
+        and int(state["n_sources"]) == n_sources
+        and int(state["likelihood"]) == _LIKELIHOOD_IDS[likelihood]
+    )
+    if not ok:
+        import warnings
+
+        warnings.warn(
+            "GGN step checkpoint is from a different run configuration "
+            "(num_classes/n_sources/likelihood changed); restarting the "
+            "accumulation from class batch 0",
+            RuntimeWarning,
+        )
+        return 0.0, 0.0, 0
+    A = np.asarray(state["A"], np.float64)
+    B = np.asarray(state["B"], np.float64)
+    return A, B, int(step)
+
 
 def kfac_ggn(
     logit_scale,
@@ -44,6 +80,8 @@ def kfac_ggn(
     precision: str = "highest",
     mesh=None,
     progress: bool = False,
+    checkpoint_dir=None,
+    checkpoint_every: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (A, B), both already divided by sqrt(n)
     (ref:hessian_estimation.py:106-109).
@@ -54,6 +92,10 @@ def kfac_ggn(
     `chunk_size_j` chunks the SigLIP target axis (--siglip_chunk_size).
     `precision`: 'highest' (fp32 GEMMs, default) or 'high' (bf16x3, 1.6x
     faster, 1.7e-5 max rel error vs fp64 — BASELINE.md round 2).
+    `checkpoint_dir`: when set, the running float64 partials are saved
+    there every `checkpoint_every` class batches and a killed run resumes
+    from the last completed one (bit-identical result: the accumulation
+    order is unchanged). The directory is removed on success.
     """
     source_embeds = np.asarray(source_embeds, np.float32)
     source_activations = np.asarray(source_activations, np.float32)
@@ -74,9 +116,21 @@ def kfac_ggn(
             sharded_hessian_siglip,
         )
 
+    ckpts = None
     A = 0.0
     B = 0.0
-    for i in range(num_class_batches):
+    start_batch = 0
+    if checkpoint_dir is not None:
+        from bayesvlm_tpu.io.orbax_ckpt import StepCheckpoints
+
+        ckpts = StepCheckpoints(checkpoint_dir, max_to_keep=2)
+        A, B, start_batch = _restore_ggn_state(
+            ckpts, num_classes, len(source_embeds), likelihood)
+        if start_batch and progress:
+            print(f"K-FAC resume from class batch {start_batch}/"
+                  f"{num_class_batches}", flush=True)
+
+    for i in range(start_batch, num_class_batches):
         if progress:
             print(f"K-FAC class batch {i + 1}/{num_class_batches}", flush=True)
         start, end = i * num_classes, (i + 1) * num_classes
@@ -127,7 +181,26 @@ def kfac_ggn(
                 f"['info_nce', 'siglip']."
             )
 
+        if ckpts is not None and (i + 1) % max(1, checkpoint_every) == 0 \
+                and (i + 1) < num_class_batches:
+            # synchronous save (a class batch is minutes of work; the
+            # [D,D] write is milliseconds — durability beats overlap
+            # here); step = number of COMPLETED class batches, so
+            # restore resumes at exactly i+1
+            ckpts.save(i + 1, {
+                "A": np.asarray(A, np.float64),
+                "B": np.asarray(B, np.float64),
+                "num_classes": num_classes,
+                "n_sources": len(source_embeds),
+                "likelihood": _LIKELIHOOD_IDS[likelihood],
+            }, wait=True)
+
     n = num_class_batches * num_classes
     A = A / np.sqrt(n)
     B = B / np.sqrt(n)
+    if ckpts is not None:
+        from bayesvlm_tpu.io.orbax_ckpt import remove_checkpoint
+
+        ckpts.close()
+        remove_checkpoint(checkpoint_dir)
     return A.astype(np.float32), B.astype(np.float32)

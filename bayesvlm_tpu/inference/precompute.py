@@ -6,7 +6,15 @@ cache files (ref:bayesvlm/precompute.py):
     activations_{tag}.pt embeddings_{tag}.pt          (hessian stage)
 
 Cache-hit short-circuits mirror the reference exactly, so interrupted runs
-resume for free (SURVEY §5 checkpoint/resume contract).
+resume for free (SURVEY §5 checkpoint/resume contract). Beyond the
+reference's whole-artifact gating, `checkpoint_every=k` writes the
+accumulated features as atomic part files every k batches
+(`<cache_dir>/_parts_<tag>/part_*.npz`, tmp+rename): a preempted pass
+resumes from the last completed part — already-encoded samples are never
+re-encoded, the loader is fast-forwarded by exact sample count (works
+mid-batch), and the final `.pt` files are byte-identical to an
+uninterrupted run. Parts are deleted once the final files land.
+Requires a deterministic loader order (Stage-1 uses shuffle_train=False).
 
 TPU notes: the encoder forward is jitted with static batch shape; the final
 partial batch is padded to the batch size and trimmed on host, so each
@@ -20,8 +28,10 @@ async and are pulled every `fetch_every` batches — the input pipeline
 
 from __future__ import annotations
 
+import os
+import shutil
 from pathlib import Path
-from typing import Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -76,6 +86,87 @@ class _ChunkedFetcher:
         return np.concatenate(self.parts, axis=0)
 
 
+class _PartedAccumulator:
+    """Crash-durable accumulation of named per-batch array streams.
+
+    Wraps one ``_ChunkedFetcher`` per key. With a ``parts_dir`` set, every
+    :meth:`flush` writes the rows accumulated since the last flush as one
+    atomic ``part_{k:05d}.npz`` (tmp + ``os.replace``); a new instance
+    pointed at the same directory resumes with those rows preloaded and
+    reports how many samples are already done (``resumed_rows``), letting
+    the caller fast-forward its loader. No cursor file: the part files ARE
+    the cursor (a torn write cannot exist past the rename)."""
+
+    def __init__(self, keys, parts_dir: Optional[Path], fetch_every: int = 16):
+        self.keys = list(keys)
+        self.parts_dir = Path(parts_dir) if parts_dir is not None else None
+        self.fetchers: Dict[str, _ChunkedFetcher] = {
+            k: _ChunkedFetcher(fetch_every) for k in self.keys
+        }
+        self._flushed_segments = 0  # entries of each fetcher.parts on disk
+        self._next_part = 0
+        self.resumed_rows = 0
+        if self.parts_dir is not None and self.parts_dir.exists():
+            files = sorted(self.parts_dir.glob("part_*.npz"))
+            for p in files:
+                with np.load(p) as z:
+                    for k in self.keys:
+                        self.fetchers[k].parts.append(z[k])
+            if files:
+                self.resumed_rows = sum(
+                    a.shape[0] for a in self.fetchers[self.keys[0]].parts
+                )
+                self._flushed_segments = len(files)
+                self._next_part = len(files)
+
+    def push(self, key: str, arr, n: int):
+        self.fetchers[key].push(arr, n)
+
+    def flush(self):
+        """Write everything accumulated since the last flush as one part."""
+        if self.parts_dir is None:
+            return
+        for f in self.fetchers.values():
+            f.drain()
+        seg = self._flushed_segments
+        ref = self.fetchers[self.keys[0]].parts
+        if len(ref) == seg:
+            return  # nothing new
+        arrays = {
+            k: np.concatenate(self.fetchers[k].parts[seg:], axis=0)
+            for k in self.keys
+        }
+        self.parts_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.parts_dir / f".part_{self._next_part:05d}.tmp.npz"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, self.parts_dir / f"part_{self._next_part:05d}.npz")
+        self._next_part += 1
+        self._flushed_segments = len(ref)
+
+    def concat(self, key: str) -> np.ndarray:
+        return self.fetchers[key].concat()
+
+    def cleanup(self):
+        """Remove the parts directory once the final artifacts are durable."""
+        if self.parts_dir is not None and self.parts_dir.exists():
+            shutil.rmtree(self.parts_dir)
+
+
+def _skip_done(arr_or_list, consumed: int, skip: int):
+    """Fast-forward helper: given a batch and the resume cursor, return
+    (remaining_batch_or_None, new_consumed) where `remaining` is the
+    suffix of rows not yet encoded (None if the whole batch is done)."""
+    n = len(arr_or_list)
+    if consumed >= skip:
+        return arr_or_list, consumed
+    take = min(n, skip - consumed)
+    consumed += take
+    if take == n:
+        return None, consumed
+    return arr_or_list[take:], consumed
+
+
 def encode_images_batched(image_encoder, images: np.ndarray, batch_size: int) -> EncoderResult:
     """Fixed-shape batched encoding with last-batch padding."""
     parts_e, parts_a, parts_r = [], [], []
@@ -95,9 +186,14 @@ def precompute_image_features(
     loader: Iterable,
     save_predictions: bool = False,
     cache_dir: Optional[Path] = None,
+    checkpoint_every: Optional[int] = None,
 ):
     """ref:bayesvlm/precompute.py:68-124. Returns (EncoderResult, class_ids,
-    image_ids) as jnp arrays."""
+    image_ids) as jnp arrays.
+
+    ``checkpoint_every=k`` (with ``save_predictions``) chunks the cache into
+    atomic part files every k batches so a preempted pass resumes without
+    re-encoding (module docstring)."""
     if save_predictions and cache_dir is None:
         raise ValueError("cache_dir must be provided if save_predictions is True")
 
@@ -122,28 +218,47 @@ def precompute_image_features(
         if save_predictions:
             cache_dir.mkdir(parents=True, exist_ok=True)
 
-    fe, fa, fr = _ChunkedFetcher(), _ChunkedFetcher(), _ChunkedFetcher()
-    labels, ids = [], []
+    keys = ("embeds", "activations", "residuals", "class_ids", "image_ids")
+    parts_dir = (
+        cache_dir / "_parts_img"
+        if checkpoint_every and save_predictions and cache_dir is not None
+        else None
+    )
+    acc = _PartedAccumulator(keys, parts_dir)
+    skip, consumed = acc.resumed_rows, 0
     batch_size = None
+    batches_since_flush = 0
     for batch in loader:
         images = np.asarray(batch["image"])
+        labels = np.asarray(batch["class_id"]).reshape(-1)
+        img_ids_b = np.asarray(batch["image_id"]).reshape(-1)
+        images, _ = _skip_done(images, consumed, skip)
+        labels, _ = _skip_done(labels, consumed, skip)
+        img_ids_b, consumed = _skip_done(img_ids_b, consumed, skip)
+        if images is None:
+            continue
         if batch_size is None:
             batch_size = images.shape[0]
         padded, n = _pad_batch(images, batch_size) if images.shape[0] < batch_size else (images, images.shape[0])
         r = image_encoder(jnp.asarray(padded))
-        fe.push(r.embeds, n)
-        fa.push(r.activations, n)
-        fr.push(r.residuals, n)
-        labels.append(np.asarray(batch["class_id"]).reshape(-1))
-        ids.append(np.asarray(batch["image_id"]).reshape(-1))
+        consumed += n
+        acc.push("embeds", r.embeds, n)
+        acc.push("activations", r.activations, n)
+        acc.push("residuals", r.residuals, n)
+        acc.push("class_ids", labels, n)
+        acc.push("image_ids", img_ids_b, n)
+        batches_since_flush += 1
+        if parts_dir is not None and batches_since_flush >= checkpoint_every:
+            acc.flush()
+            batches_since_flush = 0
 
     result = EncoderResult(
-        embeds=jnp.asarray(fe.concat()),
-        activations=jnp.asarray(fa.concat()),
-        residuals=jnp.asarray(fr.concat()),
+        embeds=jnp.asarray(acc.concat("embeds")),
+        activations=jnp.asarray(acc.concat("activations")),
+        residuals=jnp.asarray(acc.concat("residuals")),
     )
-    class_ids = jnp.asarray(np.concatenate(labels))
-    img_ids = jnp.asarray(np.concatenate(ids))
+    class_ids = jnp.asarray(acc.concat("class_ids"))
+    img_ids = jnp.asarray(acc.concat("image_ids"))
 
     if save_predictions and cache_dir is not None:
         save_pt_array(np.asarray(result.embeds), paths["embeds"])
@@ -151,6 +266,7 @@ def precompute_image_features(
         save_pt_array(np.asarray(result.residuals), paths["residuals"])
         save_pt_array(np.asarray(class_ids), paths["class_ids"])
         save_pt_array(np.asarray(img_ids), paths["image_ids"])
+        acc.cleanup()
 
     return result, class_ids, img_ids
 
@@ -203,9 +319,15 @@ def compute_features(
     cache_dir: Optional[str] = None,
     return_tensors: bool = False,
     modality: str = "image",
+    checkpoint_every: Optional[int] = None,
 ):
     """Streaming feature dump for Hessian estimation
-    (ref:bayesvlm/precompute.py:173-205). Returns cache paths (or arrays)."""
+    (ref:bayesvlm/precompute.py:173-205). Returns cache paths (or arrays).
+
+    ``checkpoint_every=k`` (with a ``cache_dir``) makes the pass
+    preemption-survivable: accumulated rows land in atomic part files every
+    k batches and a restarted call resumes after the last completed part —
+    skipped samples are never re-encoded (module docstring)."""
     if cache_dir is not None:
         cache_dir = Path(cache_dir)
         cache_dir.mkdir(parents=True, exist_ok=True)
@@ -219,29 +341,50 @@ def compute_features(
                 )
             return str(path_activations), str(path_embeddings)
 
-    fa, fe = _ChunkedFetcher(), _ChunkedFetcher()
+    parts_dir = (
+        cache_dir / f"_parts_{tag}"
+        if checkpoint_every and cache_dir is not None
+        else None
+    )
+    acc = _PartedAccumulator(("activations", "embeddings"), parts_dir)
+    skip, consumed = acc.resumed_rows, 0
     batch_size = None
+    batches_since_flush = 0
     for batch in loader:
         if modality == "image":
             images = np.asarray(batch["image"])
+            images, consumed = _skip_done(images, consumed, skip)
+            if images is None:
+                continue
             if batch_size is None:
                 batch_size = images.shape[0]
             padded, n = _pad_batch(images, batch_size)
             r = encoder(jnp.asarray(padded))
         else:
             texts = batch["text"]
+            texts, consumed = _skip_done(texts, consumed, skip)
+            if texts is None:
+                continue
             n = len(texts)
             r = encoder.encode_texts(texts)
-        fa.push(r.activations, n)
-        fe.push(r.embeds, n)
+        consumed += n
+        acc.push("activations", r.activations, n)
+        acc.push("embeddings", r.embeds, n)
+        batches_since_flush += 1
+        if parts_dir is not None and batches_since_flush >= checkpoint_every:
+            acc.flush()
+            batches_since_flush = 0
 
-    activations = fa.concat()
-    embeddings = fe.concat()
+    activations = acc.concat("activations")
+    embeddings = acc.concat("embeddings")
 
     if cache_dir is not None:
         save_pt_array(activations, path_activations)
         save_pt_array(embeddings, path_embeddings)
+        acc.cleanup()
         if not return_tensors:
             return str(path_activations), str(path_embeddings)
+    else:
+        acc.cleanup()
 
     return jnp.asarray(activations), jnp.asarray(embeddings)

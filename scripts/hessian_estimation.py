@@ -51,6 +51,8 @@ def main(
     u8_pipeline: bool = False,
     mlp_int8: bool = False,
     save_orbax: bool = False,
+    feature_checkpoint_every: int = 256,
+    ggn_checkpoint_every: int = 1,
 ):
     from bayesvlm_tpu.bayes.estimation import kfac_ggn
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
@@ -146,13 +148,14 @@ def main(
 
     # multi-host: each host caches features for ITS data shard
     host_tag = f"_host{ctx.host_id}" if multi_host else ""
+    fce = feature_checkpoint_every if feature_checkpoint_every > 0 else None
     path_act_img, path_emb_img = compute_features(
         image_encoder, loader, tag="img" + host_tag, cache_dir=hessian_dir,
-        modality="image"
+        modality="image", checkpoint_every=fce,
     )
     path_act_txt, path_emb_txt = compute_features(
         text_encoder, loader, tag="txt" + host_tag, cache_dir=hessian_dir,
-        modality="text"
+        modality="text", checkpoint_every=fce,
     )
 
     print("Loading embeddings and activations...")
@@ -204,6 +207,15 @@ def main(
             A, B, n_local, num_hosts=ctx.num_hosts if multi_host else 1
         )
 
+    # GGN step-checkpoint lane: single-host only (orbax CheckpointManager
+    # sync semantics differ under jax.distributed; multi-host keeps the
+    # reference's whole-artifact gating, which the per-host feature parts
+    # above already shorten substantially)
+    def _ggn_ckpt_dir(direction):
+        if multi_host or ggn_checkpoint_every <= 0:
+            return None
+        return str(Path(hessian_dir) / f"_ggn_steps_{direction}")
+
     A_img_path = Path(hessian_dir) / "A_img_analytic.pt"
     B_img_path = Path(hessian_dir) / "B_img_analytic.pt"
     if A_img_path.exists() and B_img_path.exists():
@@ -217,6 +229,8 @@ def main(
             likelihood, block_size=la_batch_size,
             chunk_size_j=siglip_chunk_size_j, precision=ggn_precision,
             mesh=mesh, progress=True,
+            checkpoint_dir=_ggn_ckpt_dir("img"),
+            checkpoint_every=ggn_checkpoint_every,
         )
         n_local = (len(embeddings_img) // la_num_classes) * la_num_classes
         A_img, B_img = _global_factors(A_img, B_img, n_local)
@@ -236,6 +250,8 @@ def main(
             likelihood, block_size=la_batch_size,
             chunk_size_j=siglip_chunk_size_j, precision=ggn_precision,
             mesh=mesh, progress=True,
+            checkpoint_dir=_ggn_ckpt_dir("txt"),
+            checkpoint_every=ggn_checkpoint_every,
         )
         n_local = (len(embeddings_txt) // la_num_classes) * la_num_classes
         A_txt, B_txt = _global_factors(A_txt, B_txt, n_local)
@@ -337,6 +353,16 @@ if __name__ == "__main__":
         "(<hessian_dir>/factors_orbax) — the TPU-native sharded/async "
         "artifact lane; .pt files remain the reference-parity contract")
     parser.add_argument(
+        "--feature_checkpoint_every", type=int, default=256,
+        help="write the feature cache in atomic part files every N batches "
+        "so a preempted pass resumes without re-encoding (0 disables; "
+        "the reference only gates on the whole end-of-pass artifact)")
+    parser.add_argument(
+        "--ggn_checkpoint_every", type=int, default=1,
+        help="checkpoint the running GGN partial sums every N class "
+        "batches (orbax step checkpoints under <hessian_dir>/_ggn_steps_*; "
+        "a killed run resumes bit-identically; 0 disables; single-host)")
+    parser.add_argument(
         "--u8_pipeline", action="store_true",
         help="ship raw uint8 crops to the device and normalize in-graph "
         "(4x less host->device traffic; numerically equivalent up to "
@@ -374,4 +400,6 @@ if __name__ == "__main__":
         u8_pipeline=args.u8_pipeline,
         mlp_int8=args.mlp_int8,
         save_orbax=args.save_orbax,
+        feature_checkpoint_every=args.feature_checkpoint_every,
+        ggn_checkpoint_every=args.ggn_checkpoint_every,
     )
