@@ -57,3 +57,35 @@ def clip_l14_hessian_dir():
     if not d.exists():
         pytest.skip("reference hessian fixtures not available")
     return d
+
+
+# ---------------------------------------------------------------------------
+# Subprocess isolation for the XLA persistent-cache (de)serialize flake
+# ---------------------------------------------------------------------------
+# Three full-suite runs across rounds have died by SIGSEGV inside XLA's
+# executable (de)serialization on cold cache entries — always in the
+# heavyweight mesh-compile files (test_tp.py twice on read, once on write;
+# content-independent, the same file passes standalone on the same cache
+# entry). A conftest hook cannot survive its own process death, so those
+# files are excluded from in-process collection and executed by
+# tests/test_zz_isolated.py in a child pytest with one retry on
+# signal-death. Run one directly with: BVT_ISOLATED=1 pytest tests/test_tp.py
+# (explicitly naming the file on the command line also works).
+
+ISOLATED_FILES = ("test_tp.py",)
+
+
+def pytest_ignore_collect(collection_path, config):
+    if collection_path.name not in ISOLATED_FILES:
+        return None
+    if os.environ.get("BVT_ISOLATED") == "1":
+        return None
+    # explicitly targeted on the command line -> run in-process as asked
+    for arg in config.invocation_params.args:
+        spec = str(arg).split("::")[0]
+        try:
+            if Path(spec).resolve() == collection_path.resolve():
+                return None
+        except OSError:
+            continue
+    return True
