@@ -27,7 +27,16 @@ def _load_state_dict(model_dir: Path) -> Dict[str, np.ndarray]:
         for f in st_files:
             with safe_open(f, framework="np") as sf:
                 for k in sf.keys():
-                    out[k] = sf.get_tensor(k)
+                    t = sf.get_tensor(k)
+                    # real laion/SigLIP snapshots ship fp16/bf16
+                    # safetensors; normalize float-kind tensors (incl.
+                    # ml_dtypes bf16, numpy kind 'V') to the fp32 param
+                    # store convention (the torch .bin path does the same
+                    # via .float() below; compute dtype is applied at
+                    # load via cast_gemm_params)
+                    if t.dtype.kind in ("f", "V"):
+                        t = t.astype(np.float32)
+                    out[k] = t
         return out
     bin_files = sorted(model_dir.glob("pytorch_model*.bin"))
     if not bin_files:
