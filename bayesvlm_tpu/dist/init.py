@@ -74,17 +74,20 @@ def allreduce_factors(A, B, n_local: float, num_hosts: int = None,
     )
 
 
-def allgather_rows(x, num_hosts: int = None):
+def allgather_rows(x, num_hosts: int = None, return_counts: bool = False):
     """Gather per-host row blocks into one array in rank order, handling
     uneven per-host counts (pads to the max count, slices back after the
-    gather). Used by the global-class-batch Stage-1 mode."""
+    gather). Used by the global-class-batch Stage-1 mode and the
+    multi-process AL feature gather. ``return_counts`` additionally
+    returns the per-host row counts (rank order) so callers can invert a
+    striped row assignment."""
     import numpy as np
 
     if num_hosts is None:
         num_hosts = jax.process_count()
     x = np.asarray(x)
     if num_hosts <= 1:
-        return x
+        return (x, np.asarray([x.shape[0]])) if return_counts else x
     import jax.numpy as jnp
     from jax.experimental.multihost_utils import process_allgather
 
@@ -96,9 +99,10 @@ def allgather_rows(x, num_hosts: int = None):
         pad = np.zeros((m - x.shape[0],) + x.shape[1:], x.dtype)
         x = np.concatenate([x, pad], axis=0)
     stacked = np.asarray(process_allgather(jnp.asarray(x)))
-    return np.concatenate(
+    out = np.concatenate(
         [stacked[h, : int(counts[h])] for h in range(num_hosts)], axis=0
     )
+    return (out, counts) if return_counts else out
 
 
 def initialize_distributed(

@@ -32,6 +32,49 @@ class ALContext:
     B_txt: Any
     covar_info: dict
     run_dir: Path
+    dist_ctx: Any = None  # DistContext when launched multi-process
+
+    @property
+    def is_primary(self) -> bool:
+        return self.dist_ctx is None or self.dist_ctx.is_primary
+
+
+def _stripe_batches(loader, host_id: int, num_hosts: int):
+    """Yield only this host's sample stripe (global_idx % num_hosts ==
+    host_id) from a deterministic loader — the map-style-dataset analogue
+    of Stage-1's per-host tar sharding. Striping (vs contiguous split)
+    needs no dataset length up front and reassembles with a fixed
+    interleave (_gather_striped)."""
+    consumed = 0
+    for batch in loader:
+        images = np.asarray(batch["image"])
+        n = images.shape[0]
+        sel = (np.arange(consumed, consumed + n) % num_hosts) == host_id
+        consumed += n
+        if not sel.any():
+            continue
+        yield {
+            "image": images[sel],
+            "class_id": np.asarray(batch["class_id"]).reshape(-1)[sel],
+            "image_id": np.asarray(batch["image_id"]).reshape(-1)[sel],
+        }
+
+
+def _gather_striped(arr, dist_ctx):
+    """Allgather per-host stripe rows and restore the original dataset
+    order (stripe h holds samples h, h+H, h+2H, ...)."""
+    from bayesvlm_tpu.dist.init import allgather_rows
+
+    gathered, counts = allgather_rows(
+        np.asarray(arr), dist_ctx.num_hosts, return_counts=True)
+    H = dist_ctx.num_hosts
+    out = np.empty_like(gathered)
+    off = 0
+    for h in range(H):
+        c = int(counts[h])
+        out[h::H] = gathered[off:off + c]
+        off += c
+    return out
 
 
 def setup_context(
@@ -45,7 +88,15 @@ def setup_context(
     weights_dir=None,
     tokenizer_dir=None,
     mlp_int8: bool = False,
+    dist_ctx=None,
 ) -> ALContext:
+    """``dist_ctx`` (a DistContext from initialize_distributed) switches
+    the feature precompute to multi-process mode: each process encodes its
+    sample stripe over its LOCAL device mesh, the feature rows are
+    allgathered and re-interleaved into dataset order, and everything
+    downstream (selection, fine-tune) runs replicated — identical on all
+    processes because the gathered inputs are; only the primary writes
+    artifacts (no reference counterpart, SURVEY §2.7)."""
     from bayesvlm_tpu.bayes.kfac import compute_covariances
     from bayesvlm_tpu.bayes.prior import optimize_prior_precision
     from bayesvlm_tpu.data.factory import DataModuleFactory
@@ -89,7 +140,13 @@ def setup_context(
         params=cast_gemm_params(text_encoder.params))
     import jax
 
-    if len(jax.devices()) > 1:
+    multi_host = dist_ctx is not None and dist_ctx.num_hosts > 1
+    if multi_host:
+        # host-local mesh: each process feeds its own stripe; a global
+        # mesh would need globally-coordinated per-batch input feeding
+        if len(jax.local_devices()) > 1:
+            image_encoder = image_encoder.with_mesh(dist_ctx.local_mesh)
+    elif len(jax.devices()) > 1:
         # batch-sharded feature precompute over the data mesh (same as
         # the Stage-2 CLI; GSPMD equivalence tested)
         from bayesvlm_tpu.dist.mesh import default_mesh
@@ -107,22 +164,62 @@ def setup_context(
         )
 
     print("[1] Precomputing features ...")
-    image_outputs_train, class_ids_train, image_ids_train = precompute_image_features(
-        image_encoder, dm.train_dataloader(),
-        cache_dir=run_dir / "base" / "train", save_predictions=True,
-    )
-    image_outputs_val, class_ids_val, _ = precompute_image_features(
-        image_encoder, dm.val_dataloader(),
-        cache_dir=run_dir / "base" / "val", save_predictions=True,
-    )
-    image_outputs_test, class_ids_test, image_ids_test = precompute_image_features(
-        image_encoder, dm.test_dataloader(),
-        cache_dir=run_dir / "base" / "test", save_predictions=True,
-    )
-    label_outputs = precompute_text_features(
-        text_encoder, dm.class_prompts, batch_size=precompute_batch_size,
-        cache_dir=run_dir / "base", save_predictions=True,
-    )
+    if multi_host:
+        import jax.numpy as jnp
+
+        from bayesvlm_tpu.types import EncoderResult
+
+        h, H = dist_ctx.host_id, dist_ctx.num_hosts
+        print(f"[dist] host {h}/{H} encodes its sample stripe "
+              f"({len(jax.local_devices())} local devices)")
+
+        def _pre(loader, name):
+            er, cids, iids = precompute_image_features(
+                image_encoder, _stripe_batches(loader, h, H),
+                cache_dir=run_dir / "base" / f"{name}_host{h}",
+                save_predictions=True,
+            )
+            er_g = EncoderResult(
+                embeds=jnp.asarray(_gather_striped(er.embeds, dist_ctx)),
+                activations=jnp.asarray(
+                    _gather_striped(er.activations, dist_ctx)),
+                residuals=jnp.asarray(
+                    _gather_striped(er.residuals, dist_ctx)),
+            )
+            return (
+                er_g,
+                jnp.asarray(_gather_striped(cids, dist_ctx)),
+                jnp.asarray(_gather_striped(iids, dist_ctx)),
+            )
+
+        image_outputs_train, class_ids_train, image_ids_train = _pre(
+            dm.train_dataloader(), "train")
+        image_outputs_val, class_ids_val, _ = _pre(
+            dm.val_dataloader(), "val")
+        image_outputs_test, class_ids_test, image_ids_test = _pre(
+            dm.test_dataloader(), "test")
+        # class prompts are tiny: every host encodes them identically
+        label_outputs = precompute_text_features(
+            text_encoder, dm.class_prompts, batch_size=precompute_batch_size,
+            cache_dir=run_dir / "base" / f"txt_host{h}", save_predictions=True,
+        )
+    else:
+        image_outputs_train, class_ids_train, image_ids_train = precompute_image_features(
+            image_encoder, dm.train_dataloader(),
+            cache_dir=run_dir / "base" / "train", save_predictions=True,
+        )
+        image_outputs_val, class_ids_val, _ = precompute_image_features(
+            image_encoder, dm.val_dataloader(),
+            cache_dir=run_dir / "base" / "val", save_predictions=True,
+        )
+        image_outputs_test, class_ids_test, image_ids_test = precompute_image_features(
+            image_encoder, dm.test_dataloader(),
+            cache_dir=run_dir / "base" / "test", save_predictions=True,
+        )
+        label_outputs = precompute_text_features(
+            text_encoder, dm.class_prompts, batch_size=precompute_batch_size,
+            cache_dir=run_dir / "base", save_predictions=True,
+        )
 
     A_img, B_img = load_hessians(hessian_dir, tag="img")
     A_txt, B_txt, info = load_hessians(hessian_dir, tag="txt", return_info=True)
@@ -157,7 +254,7 @@ def setup_context(
         image_ids_test=image_ids_test,
         label_outputs=label_outputs,
         A_img=A_img, B_img=B_img, A_txt=A_txt, B_txt=B_txt,
-        covar_info=covar_info, run_dir=run_dir,
+        covar_info=covar_info, run_dir=run_dir, dist_ctx=dist_ctx,
     )
 
 
@@ -204,8 +301,12 @@ def finetune_all_subsets(
         img_proj = copy.deepcopy(dict(ctx.image_encoder.projection_tree()))
         txt_proj = dict(ctx.text_encoder.projection_tree())
 
+        # multi-process: replicas train identically (same gathered inputs/
+        # seeds) but log to a replica subdir and never write checkpoints
+        logger_dir = finetune_dir if ctx.is_primary else (
+            finetune_dir / f"_replica_host{ctx.dist_ctx.host_id}")
         logger = ExperimentLogger(
-            project_name, finetune_dir,
+            project_name, logger_dir,
             name=f"{finetune_dir.parent.name}/{finetune_dir.name}",
             config=dict(
                 lr=finetune_lr, wd=finetune_wd, epochs=finetune_epochs,
@@ -236,7 +337,8 @@ def finetune_all_subsets(
         }
         if best_proj.get("bias") is not None:
             state["bias"] = np.asarray(best_proj["bias"])
-        save_pt_state_dict(state, checkpoint_path)
+        if ctx.is_primary:
+            save_pt_state_dict(state, checkpoint_path)
         results[subset] = best_test_m
         print(f"      best test metrics: {best_test_m}")
     return results

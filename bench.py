@@ -745,6 +745,89 @@ def bench_family():
     }))
 
 
+def bench_mem():
+    """Memory-envelope metric (round-3 VERDICT #7): compiled peak-HBM per
+    family at its swept sweet-spot batch, from XLA's own memory analysis
+    of the AOT-compiled forward (no execution needed — safe even on a
+    flaky tunnel). Documents the max-safe-batch headroom per chip that was
+    previously only discoverable by OOM; table recorded in BASELINE.md."""
+    import dataclasses
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from bayesvlm_tpu.models.clip import CLIPVisionTower
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+    from bayesvlm_tpu.models.siglip import SiglipVisionTower
+
+    SWEET = {
+        "clip-large": 80,
+        "clip-huge": 48,
+        "siglip-base": 192,
+        "siglip-large": 80,
+    }
+    on_tpu = jax.default_backend() == "tpu"
+    detail = {}
+    for model_str, B in SWEET.items():
+        cfg = CONFIGS_BY_NAME[model_str]
+        vcfg = dataclasses.replace(cfg.vision, attn_pallas=on_tpu)
+        cls = SiglipVisionTower if cfg.family == "siglip" else CLIPVisionTower
+        module = cls(vcfg, dtype=jnp.bfloat16)
+        dummy = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3),
+                          jnp.bfloat16)
+        shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), dummy))
+        params_abs = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)["params"]
+        params_abs = jax.eval_shape(
+            lambda p: cast_gemm_params(p, jnp.bfloat16), params_abs)
+        pixels_abs = jax.ShapeDtypeStruct(
+            (B, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
+
+        fwd = jax.jit(lambda p, x, module=module: module.apply({"params": p}, x))
+        compiled = fwd.lower(params_abs, pixels_abs).compile()
+        ma = compiled.memory_analysis()
+
+        def _b(name):
+            v = getattr(ma, name, None)
+            return int(v) if v is not None else 0
+
+        args_b = _b("argument_size_in_bytes")
+        out_b = _b("output_size_in_bytes")
+        temp_b = _b("temp_size_in_bytes")
+        alias_b = _b("alias_size_in_bytes")
+        peak = args_b + out_b + temp_b - alias_b
+        weights_b = sum(
+            int(np.prod(s.shape)) * s.dtype.itemsize
+            for s in jax.tree_util.tree_leaves(params_abs))
+        detail[model_str] = {
+            "B": B,
+            "peak_hbm_gib": round(peak / 2**30, 3),
+            "weights_gib": round(weights_b / 2**30, 3),
+            "temp_gib": round(temp_b / 2**30, 3),
+            "per_image_mib": round((temp_b + out_b) / B / 2**20, 2),
+        }
+        _log(f"mem {model_str} B={B}: peak {detail[model_str]['peak_hbm_gib']} GiB "
+             f"(weights {detail[model_str]['weights_gib']}, "
+             f"temp {detail[model_str]['temp_gib']})")
+
+    v5e_hbm_gib = 16.0  # v5e per-chip HBM
+    headline = detail["clip-large"]["peak_hbm_gib"]
+    print(_json.dumps({
+        "metric": "compiled_peak_hbm_vitl14_b80",
+        "value": headline, "unit": "GiB/chip",
+        "vs_baseline": round(headline / v5e_hbm_gib, 3),
+        "baseline": "fraction of v5e 16 GiB per-chip HBM (XLA "
+                    "memory_analysis of the AOT-compiled forward; "
+                    "NOT a reference torch number)",
+        "detail": detail,
+    }))
+
+
 def bench_int8():
     """Secondary metric: ViT-L/14 vision tower with the opt-in fused
     W8A8 int8 MLP kernel (models/mlp_int8.py, --mlp_int8 in the CLIs) at
@@ -909,6 +992,7 @@ _METRIC_FNS = {
     "serve": bench_serve,
     "family": bench_family,
     "int8": bench_int8,
+    "mem": bench_mem,
 }
 
 # metric key -> the "metric" field its JSON line carries (used for the
@@ -922,6 +1006,7 @@ _METRIC_JSON_NAME = {
     "serve": "serve_probabilistic_zeroshot_latency_b1",
     "family": "family_vision_tower_throughput",
     "int8": "vitl_vision_tower_int8_mlp_throughput",
+    "mem": "compiled_peak_hbm_vitl14_b80",
 }
 
 

@@ -81,15 +81,23 @@ def main(
         # variant guards this identically)
         raise ValueError("Cannot set both only_epig and without_epig")
 
+    from bayesvlm_tpu.dist.init import initialize_distributed
     from bayesvlm_tpu.inference.predictions import make_predictions
     from bayesvlm_tpu.select.epig import select_epig_online
     from bayesvlm_tpu.select.scores import select_random, select_topk
     from bayesvlm_tpu.train.al_common import finetune_all_subsets, setup_context
 
+    # multi-host launch (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env):
+    # stripe-sharded feature precompute + replicated selection/fine-tune
+    # with primary-only writes. No-op single host.
+    dist_ctx = initialize_distributed()
+    if dist_ctx.num_hosts <= 1:
+        dist_ctx = None
+
     ctx = setup_context(
         model_str, dataset, hessian_dir, experiment_dir, hessian_scale,
         precompute_batch_size, precompute_num_workers, weights_dir, tokenizer_dir,
-        mlp_int8=mlp_int8,
+        mlp_int8=mlp_int8, dist_ctx=dist_ctx,
     )
     dm = ctx.dm
     image_encoder = ctx.image_encoder
@@ -127,6 +135,8 @@ def main(
         subset_indices_train = OrderedDict()
 
     def _save_subsets():
+        if not ctx.is_primary:
+            return  # replicas compute identical subsets; primary persists
         with open(json_path, "w") as f:
             json.dump(subset_indices_train, f)
 
