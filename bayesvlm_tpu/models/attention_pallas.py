@@ -129,6 +129,73 @@ def _mha_split_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, o_ref, s_ref,
         o_ref[0, :, sl] = (main + rest).astype(o_ref.dtype)
 
 
+def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
+                       head_dim: int, scale: float):
+    """Packed-pair schedule: two Dh=64 heads share one 128-lane register
+    (round-3 VERDICT #3 probe, scripts/dev/probe_packed_heads.py).
+
+    Per head pair p = (2p, 2p+1): K'/V' are [2T, 2*Dh] block-diagonal
+    (head A in rows 0:T lanes 0:Dh, head B in rows T:2T lanes Dh:2Dh) —
+    the qk and pv dots contract over all 128 lanes instead of 64, and
+    the cross-segment products are exact zeros. The scores block is
+    [T, 2T] (head A cols 0:T, head B cols T:2T), so the softmax is
+    SEGMENTED along the key axis via an iota mask; in padded-lane terms
+    the packed softmax touches FEWER elements than per-head
+    ((H/2)*ceil(2T/128) vs H*ceil(T/128) lane tiles: 8*640 < 16*384 at
+    T=257).
+
+    Block-diagonal operands are built value-level (concatenate), never
+    via ragged scratch stores: compiled Mosaic silently zero-drops
+    masked sub-tile stores like ref[:257, :64] = ... (interpret mode
+    executes them fine) — observed on chip in the round-4 probe, same
+    alignment family as the int8 ragged-row-block crash (CLAUDE.md).
+
+    Requires even num_heads (all production towers: 12 or 16 heads).
+    """
+    q = q_ref[0]                      # [T, H*Dh] bf16
+    k = k_ref[0]
+    v = v_ref[0]
+    T = q.shape[0]
+    z = jnp.zeros((T, head_dim), k.dtype)
+    pairs = num_heads // 2
+    for p in range(pairs):
+        a = slice((2 * p) * head_dim, (2 * p + 1) * head_dim)
+        b = slice((2 * p + 1) * head_dim, (2 * p + 2) * head_dim)
+        ab = slice((2 * p) * head_dim, (2 * p + 2) * head_dim)
+        kp = jnp.concatenate(
+            [jnp.concatenate([k[:, a], z], axis=1),
+             jnp.concatenate([z, k[:, b]], axis=1)], axis=0)  # [2T, 2Dh]
+        s_ref[p] = jax.lax.dot_general(
+            q[:, ab], kp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                     # [T, 2T] fp32
+    # segmented fp32 softmax: keys of head A live in cols 0:T, head B in
+    # T:2T; max-subtraction and the normalizer stay per-segment (same
+    # numerics contract as jax.nn.softmax on the per-head blocks)
+    s = s_ref[:]                                       # [pairs, T, 2T]
+    in_b = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) >= T
+    neg_inf = jnp.float32(-jnp.inf)
+    m_a = jnp.max(jnp.where(in_b, neg_inf, s), axis=-1, keepdims=True)
+    m_b = jnp.max(jnp.where(in_b, s, neg_inf), axis=-1, keepdims=True)
+    e = jnp.exp(s - jnp.where(in_b, m_b, m_a))
+    d_a = jnp.sum(jnp.where(in_b, 0.0, e), axis=-1, keepdims=True)
+    d_b = jnp.sum(jnp.where(in_b, e, 0.0), axis=-1, keepdims=True)
+    prob = (e / jnp.where(in_b, d_b, d_a)).astype(q.dtype)  # [pairs, T, 2T]
+    for p in range(pairs):
+        a = slice((2 * p) * head_dim, (2 * p + 1) * head_dim)
+        b = slice((2 * p + 1) * head_dim, (2 * p + 2) * head_dim)
+        ab = slice((2 * p) * head_dim, (2 * p + 2) * head_dim)
+        vp = jnp.concatenate(
+            [jnp.concatenate([v[:, a], z], axis=1),
+             jnp.concatenate([z, v[:, b]], axis=1)], axis=0)  # [2T, 2Dh]
+        o_ref[0, :, ab] = jax.lax.dot_general(
+            prob[p], vp,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
                 head_dim: int, scale: float):
     # Staged schedule (measured 11% faster than per-head
@@ -284,19 +351,52 @@ def fused_attention_block(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
       wq, b2(bq), wk, b2(bk), wv, b2(bv), wo, b2(bo))
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "split_key"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "split_key", "packed_heads"))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    num_heads: int, split_key: bool = False) -> jax.Array:
+                    num_heads: int, split_key: bool = False,
+                    packed_heads: bool = False) -> jax.Array:
     """Non-causal MHA: q, k, v [B, T, H*Dh] (packed heads) -> [B, T, H*Dh].
 
     Equivalent to the einsum path with fp32 softmax; scores never leave
     VMEM. split_key=True routes to the measured-slower split-key
     schedule (see _mha_split_kernel — kept as a tested research
-    variant, NOT the production path).
+    variant, NOT the production path). packed_heads=True routes to the
+    packed-pair schedule (_mha_packed_kernel, round-4 probe; requires
+    even num_heads).
     """
     B, T, D = q.shape
     head_dim = D // num_heads
     interpret = jax.default_backend() != "tpu"
+
+    if packed_heads:
+        if num_heads % 2:
+            raise ValueError("packed_heads requires an even head count")
+        kernel = functools.partial(
+            _mha_packed_kernel, num_heads=num_heads, head_dim=head_dim,
+            scale=1.0 / (head_dim ** 0.5),
+        )
+        spec = pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            out_shape=_out_struct((B, T, D), q),
+            scratch_shapes=[
+                pltpu.VMEM((num_heads // 2, T, 2 * T), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=8 * B * num_heads * T * T * head_dim,
+                bytes_accessed=4 * B * T * D * q.dtype.itemsize,
+                transcendentals=B * num_heads * T * T,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=48 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(q, k, v)
 
     t_main = (T // 128) * 128
     r = T - t_main

@@ -114,6 +114,28 @@ def test_split_key_kernel_matches_einsum():
                                    err_msg=f"T={T}")
 
 
+def test_packed_heads_kernel_matches_einsum():
+    """The opt-in packed-pair schedule (two heads per 128-lane register,
+    block-diagonal K'/V', segmented softmax — round-4 probe) must match
+    the reference einsum in fp32; odd T exercises the unaligned segment
+    boundary at column T."""
+    rng = np.random.default_rng(4)
+    for T in (29, 64, 131):
+        B, H, Dh = 2, 4, 8
+        q = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        ref = np.asarray(_ref_attn(q, k, v, H))
+        out = np.asarray(fused_attention(q, k, v, H, packed_heads=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"T={T}")
+    # odd head counts are rejected (no pair for the last head)
+    import pytest
+    with pytest.raises(ValueError, match="even head count"):
+        fused_attention(q[:, :, :24], k[:, :, :24], v[:, :, :24], 3,
+                        packed_heads=True)
+
+
 def test_pick_head_group_always_divides_num_heads():
     """_mha_block_kernel iterates range(num_heads // group) head-groups;
     a non-divisor group would silently skip the trailing heads. The
