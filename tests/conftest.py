@@ -62,17 +62,19 @@ def clip_l14_hessian_dir():
 # ---------------------------------------------------------------------------
 # Subprocess isolation for the XLA persistent-cache (de)serialize flake
 # ---------------------------------------------------------------------------
-# Three full-suite runs across rounds have died by SIGSEGV inside XLA's
+# Four full-suite runs across rounds have died by SIGSEGV inside XLA's
 # executable (de)serialization on cold cache entries — always in the
-# heavyweight mesh-compile files (test_tp.py twice on read, once on write;
-# content-independent, the same file passes standalone on the same cache
-# entry). A conftest hook cannot survive its own process death, so those
-# files are excluded from in-process collection and executed by
-# tests/test_zz_isolated.py in a child pytest with one retry on
-# signal-death. Run one directly with: BVT_ISOLATED=1 pytest tests/test_tp.py
-# (explicitly naming the file on the command line also works).
+# heavyweight compile files (test_tp.py twice on read, once on write;
+# test_serve.py once on read, round 4, inside compile_serving's AOT
+# compile; content-independent, the same file passes standalone on the
+# same cache entry). A conftest hook cannot survive its own process
+# death, so those files are excluded from in-process collection and
+# executed by tests/test_zz_isolated.py in a child pytest with one retry
+# on signal-death. Run one directly with:
+# BVT_ISOLATED=1 pytest tests/test_tp.py (explicitly naming the file on
+# the command line also works).
 
-ISOLATED_FILES = ("test_tp.py",)
+ISOLATED_FILES = ("test_tp.py", "test_serve.py")
 
 
 def pytest_ignore_collect(collection_path, config):
