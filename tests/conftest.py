@@ -62,19 +62,26 @@ def clip_l14_hessian_dir():
 # ---------------------------------------------------------------------------
 # Subprocess isolation for the XLA persistent-cache (de)serialize flake
 # ---------------------------------------------------------------------------
-# Four full-suite runs across rounds have died by SIGSEGV inside XLA's
-# executable (de)serialization on cold cache entries — always in the
-# heavyweight compile files (test_tp.py twice on read, once on write;
-# test_serve.py once on read, round 4, inside compile_serving's AOT
-# compile; content-independent, the same file passes standalone on the
-# same cache entry). A conftest hook cannot survive its own process
-# death, so those files are excluded from in-process collection and
-# executed by tests/test_zz_isolated.py in a child pytest with one retry
-# on signal-death. Run one directly with:
+# Six full-suite runs across rounds have died by SIGSEGV inside XLA's
+# compile / executable-(de)serialize paths on cold cache entries —
+# always in the heavyweight compile files near the suite's alphabetical
+# tail (test_tp.py twice, test_serve.py once, test_types_fullcov.py
+# twice — the latter reproducibly at the same cholesky compile two runs
+# in a row), and NEVER standalone: the same file + same cache entry
+# passes in a lean process. Diagnosis (round 4): the victims don't
+# import torch themselves; the crashes require the full suite process
+# (~242 resident extension modules incl. torch's own libgomp/allocator)
+# — an in-process library interaction inside XLA we cannot fix from
+# here, only quarantine. glibc MALLOC_CHECK_=3 catches nothing (the
+# bundled allocators bypass glibc malloc). A conftest hook cannot
+# survive its own process death, so the observed victim files are
+# excluded from in-process collection and executed by
+# tests/test_zz_isolated.py in a child pytest (lean process = immune so
+# far) with one retry on signal-death. Run one directly with:
 # BVT_ISOLATED=1 pytest tests/test_tp.py (explicitly naming the file on
 # the command line also works).
 
-ISOLATED_FILES = ("test_tp.py", "test_serve.py")
+ISOLATED_FILES = ("test_tp.py", "test_serve.py", "test_types_fullcov.py")
 
 
 def pytest_ignore_collect(collection_path, config):
