@@ -9,18 +9,30 @@ ThreadingHTTPServer. Zero extra dependencies.
 
 Endpoints
 ---------
-POST /predict
+POST /predict            (single-model mode; or multi mode with one model)
+POST /predict/<model>    (multi-model mode)
     application/octet-stream: raw image bytes + headers
         X-Image-Shape: "224,224,3"   (row-major, channels-last)
         X-Image-Dtype: "float32" | "uint8"
     application/json: {"image": [[[...]]]}  (nested lists)
     -> {"probs": [...], "class": <argmax>, "latency_ms": ...}
-POST /class_prompts
+POST /class_prompts           (single-model mode)
+POST /class_prompts/<model>   (multi-model mode)
     {"prompts": ["a photo of a cat", ...]}  — swaps the label set
     (drains in-flight requests, re-encodes prompts, recompiles if the
-    class count changed).
-GET /healthz   -> {"ok": true, ...compiled signature...}
-GET /stats     -> BatchingServer counters (fill, p50/p95 latency, ...)
+    class count changed; in multi mode the swap briefly pauses ALL
+    resident models — the lanes share one dispatcher).
+GET /healthz   -> {"ok": true, ...compiled signature(s)...}
+GET /stats     -> server counters (fill, p50/p95 latency, ...;
+                  per-model in multi mode)
+
+Multi-model co-residency (`--models_json`): several VLMs resident on one
+chip behind `bayesvlm_tpu.multiserve.MultiModelServer` (the measured
+memory envelope fits ~12 ViT-H-class towers per 16 GiB chip —
+BASELINE.md). The manifest is a JSON dict name -> {model_str,
+hessian_dir, classes_json, [weights_dir, tokenizer_dir, text_prompt,
+batch_size, buckets, input_dtype, dtype, mlp_int8]}; omitted fields
+default to the corresponding CLI flags.
 
 Example
 -------
@@ -29,6 +41,9 @@ Example
   curl -X POST localhost:8000/predict -H 'Content-Type: application/octet-stream' \
       -H 'X-Image-Shape: 224,224,3' -H 'X-Image-Dtype: uint8' \
       --data-binary @image.raw
+  # multi-model:
+  python scripts/serve.py --models_json fleet.json --port 8000
+  curl -X POST localhost:8000/predict/siglip ...
 """
 
 import argparse
@@ -64,7 +79,10 @@ class ServingApp:
         self.server = self._make().start()
         self._swap_lock = threading.Lock()
 
-    def predict(self, image: np.ndarray) -> np.ndarray:
+    def predict(self, image: np.ndarray, model=None) -> np.ndarray:
+        if model is not None:
+            raise KeyError(
+                "single-model server: POST /predict (no model path)")
         # A request can race a /class_prompts swap into the stopped
         # window; retry on the replacement server after the swap ends
         # (waiting on _swap_lock) instead of surfacing a client error.
@@ -79,13 +97,16 @@ class ServingApp:
                     pass  # swap (or shutdown) finished; retry once
         return self.server.predict(image, timeout=self.predict_timeout_s)
 
-    def set_class_prompts(self, prompts):
+    def set_class_prompts(self, prompts, model=None):
         """Drain, swap labels (recompile happens inside BatchingServer
         if the class count invalidated the AOT program), restart.
         timeout=None: never mutate shared VLM state while the old
         dispatcher might still be mid-predict (a bounded join that
         expires would do exactly that). Exception-safe: the endpoint
         comes back up even if the swap itself fails."""
+        if model is not None:
+            raise KeyError(
+                "single-model server: POST /class_prompts (no model path)")
         with self._swap_lock:
             self.server.stop(drain=True, timeout=None)
             try:
@@ -98,6 +119,81 @@ class ServingApp:
 
     def signature(self) -> dict:
         return {"ok": True, **self.server.signature()}
+
+    def stats_dict(self) -> dict:
+        return vars(self.server.stats())
+
+
+class MultiServingApp:
+    """Owns N co-resident VLMs behind one MultiModelServer.
+
+    Same swap contract as ServingApp, with one multi-model caveat
+    documented in the module docstring: a /class_prompts/<model> swap
+    drains and rebuilds the WHOLE multiplexer (the lanes share one
+    dispatcher thread), so other models pause for the swap duration.
+    """
+
+    def __init__(self, vlms: dict, batch_size, max_wait_ms: float,
+                 input_dtype, predict_timeout_s: float = 120.0,
+                 buckets=None):
+        import jax.numpy as jnp
+
+        from bayesvlm_tpu.multiserve import MultiModelServer
+
+        jmap = {"float32": jnp.float32, "uint8": jnp.uint8}
+        dt = ({k: jmap[v] for k, v in input_dtype.items()}
+              if isinstance(input_dtype, dict) else jmap[input_dtype])
+        self.vlms = dict(vlms)
+        self._make = lambda: MultiModelServer(
+            self.vlms, batch_size, max_wait_ms=max_wait_ms,
+            input_dtype=dt, buckets=buckets,
+        )
+        self.verbose = False
+        self.predict_timeout_s = predict_timeout_s
+        self.server = self._make().start()
+        self._swap_lock = threading.Lock()
+
+    def _resolve(self, model):
+        if model is None:
+            if len(self.vlms) == 1:
+                return next(iter(self.vlms))
+            raise KeyError(
+                f"model name required (POST /predict/<model>); resident: "
+                f"{sorted(self.vlms)}")
+        if model not in self.vlms:
+            raise KeyError(
+                f"unknown model {model!r}; resident: {sorted(self.vlms)}")
+        return model
+
+    def predict(self, image: np.ndarray, model=None) -> np.ndarray:
+        model = self._resolve(model)
+        for _ in range(2):
+            try:
+                return self.server.predict(
+                    model, image, timeout=self.predict_timeout_s)
+            except RuntimeError as exc:
+                if "not accepting" not in str(exc):
+                    raise
+                with self._swap_lock:
+                    pass  # swap (or shutdown) finished; retry once
+        return self.server.predict(model, image,
+                                   timeout=self.predict_timeout_s)
+
+    def set_class_prompts(self, prompts, model=None):
+        model = self._resolve(model)
+        with self._swap_lock:
+            self.server.stop(drain=True, timeout=None)
+            try:
+                self.vlms[model].set_class_prompts(prompts)
+            finally:
+                self.server = self._make().start()
+
+    def signature(self) -> dict:
+        return {"ok": True, "models": self.server.signature(),
+                "hbm_gib": self.server.hbm_footprint()}
+
+    def stats_dict(self) -> dict:
+        return {name: vars(s) for name, s in self.server.stats().items()}
 
 
 def _parse_image(handler: BaseHTTPRequestHandler) -> np.ndarray:
@@ -151,11 +247,22 @@ def make_handler(app: ServingApp):
                 return 503  # shutting down / mid-swap
             return 500
 
+        @staticmethod
+        def _route(path: str, stem: str):
+            """Match `/<stem>` (None model) or `/<stem>/<model>`;
+            no-match -> (False, None)."""
+            if path == f"/{stem}":
+                return True, None
+            prefix = f"/{stem}/"
+            if path.startswith(prefix) and len(path) > len(prefix):
+                return True, path[len(prefix):]
+            return False, None
+
         def do_GET(self):  # noqa: N802 (stdlib casing)
             if self.path == "/healthz":
                 self._send(200, app.signature())
             elif self.path == "/stats":
-                self._send(200, vars(app.server.stats()))
+                self._send(200, app.stats_dict())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -164,18 +271,21 @@ def make_handler(app: ServingApp):
 
             self._responded = False
             try:
-                if self.path == "/predict":
+                hit, model = self._route(self.path, "predict")
+                if hit:
                     t0 = time.monotonic()
-                    probs = app.predict(_parse_image(self))
+                    probs = app.predict(_parse_image(self), model=model)
                     self._send(200, {
                         "probs": np.asarray(probs, np.float64).tolist(),
                         "class": int(np.argmax(probs)),
                         "latency_ms": (time.monotonic() - t0) * 1000.0,
                     })
-                elif self.path == "/class_prompts":
+                    return
+                hit, model = self._route(self.path, "class_prompts")
+                if hit:
                     length = int(self.headers.get("Content-Length", 0))
                     prompts = json.loads(self.rfile.read(length))["prompts"]
-                    app.set_class_prompts(prompts)
+                    app.set_class_prompts(prompts, model=model)
                     self._send(200, {"ok": True, "num_classes": len(prompts)})
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
@@ -192,39 +302,81 @@ def make_handler(app: ServingApp):
     return Handler
 
 
-def build_app(args) -> ServingApp:
+def _parse_buckets(spec):
+    if not spec:
+        return None
+    return "pow2" if spec == "pow2" else [int(b) for b in spec.split(",")]
+
+
+def _load_vlm(args, model_str, hessian_dir, weights_dir, tokenizer_dir,
+              dtype, mlp_int8, classes_json, text_prompt):
     from bayesvlm_tpu.pipeline import ProbabilisticVLM
+
+    vlm = ProbabilisticVLM.from_pretrained(
+        model_str, hessian_dir,
+        weights_dir=weights_dir, tokenizer_dir=tokenizer_dir,
+        dtype=dtype, mesh="auto" if args.use_mesh else None,
+        mlp_int8=mlp_int8,
+    )
+    prompts = [text_prompt.format(class_name=c)
+               for c in json.loads(Path(classes_json).read_text())]
+    return vlm.set_class_prompts(prompts)
+
+
+def build_app(args):
     from bayesvlm_tpu.utils import apply_device_flag
 
     apply_device_flag(args.device)
 
-    vlm = ProbabilisticVLM.from_pretrained(
-        args.model_str, args.hessian_dir,
-        weights_dir=args.weights_dir, tokenizer_dir=args.tokenizer_dir,
-        dtype=args.dtype, mesh="auto" if args.use_mesh else None,
-        mlp_int8=args.mlp_int8,
-    )
-    prompts = [args.text_prompt.format(class_name=c)
-               for c in json.loads(Path(args.classes_json).read_text())]
-    vlm.set_class_prompts(prompts)
-    buckets = None
-    if args.buckets:
-        buckets = ("pow2" if args.buckets == "pow2"
-                   else [int(b) for b in args.buckets.split(",")])
+    if args.models_json:
+        manifest = json.loads(Path(args.models_json).read_text())
+        if not isinstance(manifest, dict) or not manifest:
+            raise ValueError("--models_json must be a non-empty JSON dict "
+                             "name -> model spec")
+        vlms, batch_size, buckets, input_dtype = {}, {}, {}, {}
+        for name, spec in manifest.items():
+            vlms[name] = _load_vlm(
+                args, spec.get("model_str", args.model_str),
+                spec["hessian_dir"],
+                spec.get("weights_dir", args.weights_dir),
+                spec.get("tokenizer_dir", args.tokenizer_dir),
+                spec.get("dtype", args.dtype),
+                bool(spec.get("mlp_int8", args.mlp_int8)),
+                spec["classes_json"],
+                spec.get("text_prompt", args.text_prompt),
+            )
+            batch_size[name] = int(spec.get("batch_size", args.batch_size))
+            buckets[name] = _parse_buckets(spec.get("buckets", args.buckets))
+            input_dtype[name] = spec.get("input_dtype", args.input_dtype)
+        app = MultiServingApp(vlms, batch_size, args.max_wait_ms,
+                              input_dtype,
+                              predict_timeout_s=args.predict_timeout_s,
+                              buckets=buckets)
+        app.verbose = args.verbose
+        return app
+
+    vlm = _load_vlm(args, args.model_str, args.hessian_dir,
+                    args.weights_dir, args.tokenizer_dir, args.dtype,
+                    args.mlp_int8, args.classes_json, args.text_prompt)
     app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
                      args.input_dtype,
                      predict_timeout_s=args.predict_timeout_s,
-                     buckets=buckets)
+                     buckets=_parse_buckets(args.buckets))
     app.verbose = args.verbose
     return app
 
 
 def main(args) -> None:
+    if not args.models_json and not (args.hessian_dir and args.classes_json):
+        raise SystemExit(
+            "--hessian_dir and --classes_json are required "
+            "(or pass --models_json for multi-model mode)")
     app = build_app(args)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(app))
+    what = (f"models={sorted(app.vlms)}" if hasattr(app, "vlms")
+            else f"batch_size={args.batch_size}")
     print(f"serving on {args.host}:{httpd.server_address[1]} "
-          f"(batch_size={args.batch_size}, wait={args.max_wait_ms}ms, "
-          f"dtype={args.input_dtype})", flush=True)
+          f"({what}, wait={args.max_wait_ms}ms)", flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -237,11 +389,20 @@ def main(args) -> None:
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--model_str", default="clip-base")
-    p.add_argument("--hessian_dir", required=True)
+    p.add_argument("--hessian_dir", default=None,
+                   help="required unless --models_json is given")
     p.add_argument("--weights_dir", default=None)
     p.add_argument("--tokenizer_dir", default=None)
-    p.add_argument("--classes_json", required=True,
-                   help="JSON list of class names")
+    p.add_argument("--classes_json", default=None,
+                   help="JSON list of class names (required unless "
+                        "--models_json is given)")
+    p.add_argument("--models_json", default=None,
+                   help="multi-model co-residency manifest: JSON dict "
+                        "name -> {model_str, hessian_dir, classes_json, "
+                        "[weights_dir, tokenizer_dir, text_prompt, "
+                        "batch_size, buckets, input_dtype, dtype, "
+                        "mlp_int8]}; omitted fields default to the CLI "
+                        "flags. Serves POST /predict/<name>.")
     p.add_argument("--text_prompt", default="An image of a {class_name}")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)

@@ -251,6 +251,158 @@ def test_no_lane_starvation_under_alternating_load(
                                        rtol=1e-5, atol=1e-6)
 
 
+# -- HTTP front end (scripts/serve.py --models_json mode) -------------------
+
+
+def _load_serve_script():
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "bvt_serve_script_multi", root / "scripts" / "serve.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def http_multi(clip_vlm, siglip_vlm):
+    from http.server import ThreadingHTTPServer
+
+    mod = _load_serve_script()
+    app = mod.MultiServingApp(
+        {"clip": clip_vlm, "siglip": siglip_vlm},
+        batch_size={"clip": 2, "siglip": 2}, max_wait_ms=2.0,
+        input_dtype="float32",
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), mod.make_handler(app))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield app, httpd.server_address[1]
+    httpd.shutdown()
+    app.server.stop(drain=False)
+
+
+def _request(port, method, path, body=None, headers=None):
+    import http.client
+    import json
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    try:
+        conn.request(method, path, body=body, headers=headers or {})
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read())
+    finally:
+        conn.close()
+
+
+def test_http_routes_per_model(http_multi, expected):
+    _, port = http_multi
+    img = _images(1, seed=12)[0]
+    want_clip = expected("clip", img[None])[0]
+    want_sig = expected("siglip", img[None])[0]
+    raw = img.astype(np.float32).tobytes()
+    hdr = {"Content-Type": "application/octet-stream",
+           "X-Image-Shape": "32,32,3", "X-Image-Dtype": "float32"}
+
+    status, out = _request(port, "POST", "/predict/clip", raw, hdr)
+    assert status == 200
+    np.testing.assert_allclose(out["probs"], want_clip, rtol=1e-5, atol=1e-6)
+    status, out = _request(port, "POST", "/predict/siglip", raw, hdr)
+    assert status == 200
+    np.testing.assert_allclose(out["probs"], want_sig, rtol=1e-5, atol=1e-6)
+
+    # no model path with >1 resident, and unknown model: client errors
+    status, out = _request(port, "POST", "/predict", raw, hdr)
+    assert status == 400 and "model name required" in out["error"]
+    status, out = _request(port, "POST", "/predict/nope", raw, hdr)
+    assert status == 400 and "unknown model" in out["error"]
+
+
+def test_http_multi_observability(http_multi):
+    _, port = http_multi
+    status, health = _request(port, "GET", "/healthz")
+    assert status == 200 and health["ok"]
+    assert set(health["models"]) == {"clip", "siglip"}
+    assert set(health["hbm_gib"]) == {"clip", "siglip", "total"}
+    status, stats = _request(port, "GET", "/stats")
+    assert status == 200 and set(stats) == {"clip", "siglip"}
+    assert all("latency_ms_p50" in s for s in stats.values())
+
+
+def test_http_class_prompts_swap_one_lane(http_multi, expected):
+    import json
+
+    app, port = http_multi
+    new_prompts = [f"swapped class {i}" for i in range(3)]
+    status, out = _request(
+        port, "POST", "/class_prompts/clip",
+        json.dumps({"prompts": new_prompts}).encode(),
+        {"Content-Type": "application/json"})
+    assert status == 200 and out["num_classes"] == 3
+    img = _images(1, seed=13)[0]
+    raw = img.astype(np.float32).tobytes()
+    hdr = {"Content-Type": "application/octet-stream",
+           "X-Image-Shape": "32,32,3", "X-Image-Dtype": "float32"}
+    status, out = _request(port, "POST", "/predict/clip", raw, hdr)
+    assert status == 200 and len(out["probs"]) == 3
+    # the OTHER lane is untouched by the swap
+    status, out = _request(port, "POST", "/predict/siglip", raw, hdr)
+    assert status == 200 and len(out["probs"]) == len(SIGLIP_PROMPTS)
+    # restore for the other module-scoped tests
+    status, _ = _request(
+        port, "POST", "/class_prompts/clip",
+        json.dumps({"prompts": CLIP_PROMPTS}).encode(),
+        {"Content-Type": "application/json"})
+    assert status == 200
+
+
+def test_build_app_manifest_mode(tmp_path, clip_vlm):
+    """CLI wiring: --models_json builds a MultiServingApp with per-model
+    specs (random-init weights; the contract under test is routing +
+    construction, not calibration)."""
+    import json
+
+    mod = _load_serve_script()
+    rng = np.random.default_rng(2)
+    hdir = tmp_path / "h"
+    hdir.mkdir()
+    cfg = TINY_CLIP_CONFIG
+    save_hessians(hdir, _spd(rng, cfg.vision.hidden_size),
+                  _spd(rng, cfg.vision.projection_dim), "img")
+    save_hessians(hdir, _spd(rng, cfg.text.hidden_size),
+                  _spd(rng, cfg.vision.projection_dim), "txt")
+    save_prior_precision(hdir, 5.0, 1.0, 5.0, 1.0)
+    classes = tmp_path / "classes.json"
+    classes.write_text(json.dumps(["ant", "bee"]))
+    manifest = tmp_path / "fleet.json"
+    manifest.write_text(json.dumps({
+        "tiny": {"model_str": "tiny-clip", "hessian_dir": str(hdir),
+                 "classes_json": str(classes), "batch_size": 2,
+                 "buckets": "pow2"},
+    }))
+    import argparse
+    args = argparse.Namespace(
+        model_str="tiny-clip", hessian_dir=None, weights_dir=None,
+        tokenizer_dir=None, classes_json=None, models_json=str(manifest),
+        text_prompt="An image of a {class_name}", batch_size=4,
+        max_wait_ms=2.0, input_dtype="float32", dtype="fp32",
+        use_mesh=False, mlp_int8=False, device="cpu", buckets=None,
+        predict_timeout_s=120.0, host="127.0.0.1", port=0, verbose=False)
+    app = mod.build_app(args)
+    try:
+        assert isinstance(app, mod.MultiServingApp)
+        assert app.server.signature()["tiny"]["buckets"] == [1, 2]
+        probs = app.predict(_images(1, seed=14)[0], model="tiny")
+        assert probs.shape == (2,)
+        # single resident model: the no-model path resolves to it
+        probs = app.predict(_images(1, seed=14)[0])
+        assert probs.shape == (2,)
+    finally:
+        app.server.stop(drain=False)
+
+
 def test_hbm_footprint_reports_all_lanes(clip_vlm, siglip_vlm):
     ms = MultiModelServer(
         {"clip": clip_vlm, "siglip": siglip_vlm},
