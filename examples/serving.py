@@ -72,6 +72,24 @@ def main():
     print("AOT fast path max |d| vs general path:",
           float(np.abs(fast - probs).max()))
 
+    # multi-model co-residency: several VLMs resident on one chip behind
+    # ONE dispatcher (the measured envelope fits ~12 ViT-H-class towers
+    # per 16 GiB chip — BASELINE.md). Real deployments pass different
+    # model_str/hessian_dir per lane; scripts/serve.py --models_json
+    # exposes the same thing over HTTP as POST /predict/<model>.
+    from bayesvlm_tpu.multiserve import MultiModelServer
+
+    vlm_b = ProbabilisticVLM.from_pretrained(
+        "tiny-clip", hessian_dir, prior_num_steps=100, mesh=None,
+    ).set_class_prompts([f"A photo of object {i}" for i in range(3)])
+    with MultiModelServer({"things": vlm, "objects": vlm_b},
+                          batch_size={"things": 8, "objects": 4},
+                          buckets="pow2", max_wait_ms=2.0) as ms:
+        p1 = ms.predict("things", images[0])
+        p2 = ms.predict("objects", images[1])
+        print("co-resident lanes:", p1.shape, p2.shape,
+              "| compiled HBM:", ms.hbm_footprint())
+
 
 if __name__ == "__main__":
     main()

@@ -20,15 +20,17 @@ _RUNNER = (
 )
 
 
-@pytest.mark.parametrize("script,expect", [
-    ("examples/serving.py", "AOT fast path max |d| vs general path"),
-    ("examples/zeroshot_demo.py", "BayesVLM"),
+@pytest.mark.parametrize("script,expects", [
+    ("examples/serving.py", ("AOT fast path max |d| vs general path",
+                             "co-resident lanes:")),
+    ("examples/zeroshot_demo.py", ("BayesVLM",)),
 ])
-def test_example_script_runs(script, expect):
+def test_example_script_runs(script, expects):
     p = subprocess.run(
         [sys.executable, "-c",
          _RUNNER.format(script=REPO_ROOT / script)],
         capture_output=True, text=True, timeout=600, cwd=REPO_ROOT,
     )
     assert p.returncode == 0, p.stderr[-2000:]
-    assert expect in p.stdout
+    for expect in expects:
+        assert expect in p.stdout
