@@ -828,6 +828,106 @@ def bench_mem():
     }))
 
 
+def bench_coserve():
+    """Co-residency metric (round 11, backs multiserve.MultiModelServer):
+    ViT-L/14 (B=80) and SigLIP-base (B=192) RESIDENT on one chip at
+    their swept sweet spots — solo in-graph latency each, then a
+    combined program that runs both forwards per iteration (the
+    co-resident duty cycle under a mixed load). interference =
+    combined / (solo_a + solo_b): ~1.0 means consolidation is free on
+    this hardware (weights stay resident — 0.75 GiB + 0.61 GiB compiled
+    peak vs 16 GiB HBM, bench --metric mem), i.e. one chip serves both
+    model families at full per-model throughput. Headline value: mixed
+    aggregate images/sec through the combined cycle."""
+    import dataclasses
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from bayesvlm_tpu.models.clip import CLIPVisionTower
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+    from bayesvlm_tpu.models.encoders import cast_gemm_params
+    from bayesvlm_tpu.models.siglip import SiglipVisionTower
+
+    PAIR = (("clip-large", 80), ("siglip-base", 192))
+    N_ITER = 20
+    built = {}
+    for model_str, B in PAIR:
+        cfg = CONFIGS_BY_NAME[model_str]
+        vcfg = dataclasses.replace(cfg.vision, attn_pallas=True)
+        cls = SiglipVisionTower if cfg.family == "siglip" else CLIPVisionTower
+        module = cls(vcfg, dtype=jnp.bfloat16)
+        rng_np = np.random.default_rng(0)
+        dummy = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3),
+                          jnp.bfloat16)
+        shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), dummy))
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.asarray(
+                rng_np.normal(0.0, 0.02, s.shape).astype(np.float32),
+                s.dtype),
+            shapes)["params"]
+        params = cast_gemm_params(params, jnp.bfloat16)
+        pixels = jnp.asarray(
+            np.random.default_rng(1).normal(
+                size=(B, vcfg.image_size, vcfg.image_size, 3)),
+            jnp.bfloat16)
+        built[model_str] = (module, params, pixels, B)
+
+    def solo_loop(module):
+        @jax.jit
+        def loop(params, pixels):
+            def body(i, carry):
+                x = pixels + (carry * 1e-20).astype(pixels.dtype)
+                return jnp.sum(module.apply({"params": params}, x)[0][0]
+                               ).astype(jnp.float32)
+            return jax.lax.fori_loop(0, N_ITER, body, jnp.float32(0.0))
+        return loop
+
+    detail = {}
+    solo_ms = {}
+    for model_str, (module, params, pixels, B) in built.items():
+        ms = _best_ms(solo_loop(module), (params, pixels), n_iter=N_ITER)
+        solo_ms[model_str] = ms
+        detail[model_str] = {"B": B, "solo_ms": round(ms, 2),
+                             "solo_img_s": round(B / ms * 1e3, 1)}
+
+    (m_a, p_a, x_a, B_a) = built[PAIR[0][0]]
+    (m_b, p_b, x_b, B_b) = built[PAIR[1][0]]
+
+    @jax.jit
+    def combined(p_a, x_a, p_b, x_b):
+        def body(i, carry):
+            xa = x_a + (carry * 1e-20).astype(x_a.dtype)
+            s = jnp.sum(m_a.apply({"params": p_a}, xa)[0][0]
+                        ).astype(jnp.float32)
+            xb = x_b + (s * 1e-20).astype(x_b.dtype)
+            return s + jnp.sum(m_b.apply({"params": p_b}, xb)[0][0]
+                               ).astype(jnp.float32)
+        return jax.lax.fori_loop(0, N_ITER, body, jnp.float32(0.0))
+
+    comb_ms = _best_ms(combined, (p_a, x_a, p_b, x_b), n_iter=N_ITER)
+    interference = comb_ms / (solo_ms[PAIR[0][0]] + solo_ms[PAIR[1][0]])
+    mixed_img_s = (B_a + B_b) / comb_ms * 1e3
+    detail["combined"] = {
+        "ms": round(comb_ms, 2),
+        "interference_vs_solo_sum": round(interference, 4),
+    }
+
+    print(_json.dumps({
+        "metric": "coserve_vitl_siglip_mixed_throughput",
+        "value": round(mixed_img_s, 1), "unit": "images/sec/chip",
+        "vs_baseline": round(interference, 4),
+        "baseline": "vs_baseline here = interference ratio "
+                    "combined/(solo_a+solo_b) on THIS chip (1.0 = "
+                    "co-residency is free); NOT a reference torch number",
+        "detail": detail,
+    }))
+
+
 def bench_int8():
     """Secondary metric: ViT-L/14 vision tower with the opt-in fused
     W8A8 int8 MLP kernel (models/mlp_int8.py, --mlp_int8 in the CLIs) at
@@ -993,6 +1093,7 @@ _METRIC_FNS = {
     "family": bench_family,
     "int8": bench_int8,
     "mem": bench_mem,
+    "coserve": bench_coserve,
 }
 
 # metric key -> the "metric" field its JSON line carries (used for the
@@ -1007,6 +1108,7 @@ _METRIC_JSON_NAME = {
     "family": "family_vision_tower_throughput",
     "int8": "vitl_vision_tower_int8_mlp_throughput",
     "mem": "compiled_peak_hbm_vitl14_b80",
+    "coserve": "coserve_vitl_siglip_mixed_throughput",
 }
 
 
