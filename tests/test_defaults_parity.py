@@ -37,8 +37,9 @@ WHITELIST = {
     "--device": "ours defaults to 'tpu'; reference to 'cuda'/cpu-detect",
     "--la_batch_size": "2048 here vs 5: GEMM reformulation has no [B,D,D] "
     "per-sample intermediates (PARITY.md §2.6)",
-    "--num_workers": "host loader workers tuned for this machine; "
-    "functional flag either way",
+    # --num_workers was whitelisted through round 4 ("tuned for this
+    # machine") but the defaults actually match the reference (8 in
+    # hessian_estimation, 4 in zeroshot) — entry dropped, now enforced.
 }
 
 # A marker for defaults that are not literal constants in the source
