@@ -60,7 +60,14 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from bayesvlm_tpu.serve import BatchingServer, ServerStats, _fail, _Request
+from bayesvlm_tpu.serve import (
+    _STOP as _RESOLVE_STOP,  # serve._resolve_loop's own sentinel object
+    BatchingServer,
+    ServerStats,
+    _fail,
+    _Request,
+    _resolve_loop,
+)
 
 __all__ = ["MultiModelServer"]
 
@@ -91,13 +98,26 @@ class MultiModelServer:
     max_queue : global backpressure bound across all lanes.
     buckets : None | "pow2" | list[int] | dict name -> any of those;
         per-lane partial-batch program ladders (serve.BatchingServer).
+    pipeline_depth : 0 resolves each batch inline; >0 starts ONE shared
+        async-fetch resolver thread for all lanes (serve._resolve_loop):
+        the dispatcher hands each batch's on-device result over and
+        immediately dispatches the next lane's batch, so the fetch of
+        one model's batch overlaps the execution of the next model's —
+        the compute-bound co-residency duty cycle. Bounds in-flight
+        unfetched batches across all lanes.
     """
 
     def __init__(self, models: Dict[str, object], batch_size,
                  max_wait_ms: float = 5.0, input_dtype=None,
-                 max_queue: int = 1024, buckets=None):
+                 max_queue: int = 1024, buckets=None,
+                 pipeline_depth: int = 0):
         if not models:
             raise ValueError("models must be a non-empty dict")
+        if pipeline_depth < 0:
+            raise ValueError(f"pipeline_depth must be >= 0, got {pipeline_depth}")
+        self.pipeline_depth = int(pipeline_depth)
+        self._resolve_q = None
+        self._resolve_thread: Optional[threading.Thread] = None
         self._lanes: Dict[str, BatchingServer] = {}
         for name, vlm in models.items():
             bs = _per_lane(batch_size, name)
@@ -126,12 +146,35 @@ class MultiModelServer:
             if self._thread is not None:
                 raise RuntimeError("server already started")
             self._accepting = True
+            if self.pipeline_depth > 0 and self._resolve_q is None:
+                self._resolve_q = queue.Queue(maxsize=self.pipeline_depth)
+                self._resolve_thread = threading.Thread(
+                    target=_resolve_loop, args=(self._resolve_q,),
+                    name="bvt-multiserve-resolve", daemon=True,
+                )
+                self._resolve_thread.start()
+                # lanes push to the SHARED resolver queue (one FIFO for
+                # the whole server keeps resolution in dispatch order)
+                for lane in self._lanes.values():
+                    lane._resolve_q = self._resolve_q
             self._thread = threading.Thread(
                 target=self._dispatch_loop, name="bvt-multiserve-dispatch",
                 daemon=True,
             )
             self._thread.start()
         return self
+
+    def _shutdown_resolver(self, timeout: Optional[float]) -> bool:
+        rq, rt = self._resolve_q, self._resolve_thread
+        self._resolve_q = None
+        self._resolve_thread = None
+        for lane in self._lanes.values():
+            lane._resolve_q = None
+        if rt is None:
+            return True
+        rq.put(_RESOLVE_STOP)
+        rt.join(timeout=timeout)
+        return not rt.is_alive()
 
     def stop(self, drain: bool = True,
              timeout: Optional[float] = 30.0) -> bool:
@@ -174,7 +217,9 @@ class MultiModelServer:
                 self._dec_pending(name, 1)
                 _fail(req.future, RuntimeError(
                     "request raced a server stop and was never dispatched"))
-            return True
+            # in pipelined mode, True additionally means every in-flight
+            # batch has been fetched and its futures resolved
+            return self._shutdown_resolver(timeout)
         return False
 
     def __enter__(self) -> "MultiModelServer":

@@ -57,6 +57,39 @@ def _fail(future: Future, exc: BaseException) -> None:
         pass
 
 
+def _resolve_loop(q) -> None:
+    """Async-fetch resolver thread (shared by BatchingServer lanes and
+    MultiModelServer): consumes (lane, live, device_probs, bucket, n)
+    tuples, blocks on the device->host fetch, and resolves the futures.
+
+    Why a separate thread: JAX dispatch is async — by the time a batch's
+    results are ENQUEUED here, the dispatcher has already moved on to
+    dispatching the next batch, so the fetch of batch N overlaps the
+    execution of batch N+1. Without this, the dispatcher serializes
+    dispatch -> execute -> fetch per batch, and on hosts with a long
+    device round trip (the dev tunnel's ~0.3-0.5 s RTT; PCIe/DCN hops in
+    general) throughput is RTT-bound instead of compute-bound. FIFO per
+    queue, so futures resolve in dispatch order."""
+    while True:
+        item = q.get()
+        if item is _STOP:
+            return
+        lane, live, probs_dev, bucket, n = item
+        try:
+            probs = np.asarray(probs_dev)
+        except Exception as exc:  # noqa: BLE001 — propagate to callers
+            with lane._lock:
+                lane._stats.errors += n
+            for req in live:
+                _fail(req.future, exc)
+            continue
+        try:
+            lane._finish(live, probs, bucket, n)
+        except Exception:  # noqa: BLE001 — the resolver must NOT die
+            with lane._lock:
+                lane._stats.errors += 1
+
+
 @dataclass
 class ServerStats:
     """Counters since start(); fill = served rows / dispatched rows."""
@@ -109,14 +142,30 @@ class BatchingServer:
         "pow2" compiles a power-of-two ladder up to batch_size (on a
         >1-device mesh: multiples of the data-axis size); an explicit
         list of ints is used as-is (batch_size is always included).
+    pipeline_depth : 0 (default) resolves each batch inline — the
+        dispatcher blocks on the device->host fetch before dispatching
+        the next batch. >0 starts an async-fetch resolver thread
+        (`_resolve_loop`): the dispatcher hands each batch's on-device
+        result to the resolver and immediately dispatches the next one,
+        so fetch overlaps execution and throughput stays compute-bound
+        on hosts with a long device round trip. The value bounds the
+        number of in-flight unfetched batches (device-buffer
+        backpressure); 2-8 is plenty. Results still resolve in dispatch
+        order.
     """
 
     def __init__(self, vlm, batch_size: int, max_wait_ms: float = 5.0,
-                 input_dtype=None, max_queue: int = 1024, buckets=None):
+                 input_dtype=None, max_queue: int = 1024, buckets=None,
+                 pipeline_depth: int = 0):
         import jax.numpy as jnp
 
         if input_dtype is None:
             input_dtype = jnp.float32
+        if pipeline_depth < 0:
+            raise ValueError(f"pipeline_depth must be >= 0, got {pipeline_depth}")
+        self.pipeline_depth = int(pipeline_depth)
+        self._resolve_q = None
+        self._resolve_thread: Optional[threading.Thread] = None
         self.batch_size = int(batch_size)
         self._buckets = self._build_ladder(vlm, buckets)
         srv = vlm._serving
@@ -172,12 +221,32 @@ class BatchingServer:
             if self._thread is not None:
                 raise RuntimeError("server already started")
             self._accepting = True
+            if self.pipeline_depth > 0 and self._resolve_q is None:
+                self._resolve_q = queue.Queue(maxsize=self.pipeline_depth)
+                self._resolve_thread = threading.Thread(
+                    target=_resolve_loop, args=(self._resolve_q,),
+                    name="bvt-serve-resolve", daemon=True,
+                )
+                self._resolve_thread.start()
             self._thread = threading.Thread(
                 target=self._dispatch_loop, name="bvt-serve-dispatch",
                 daemon=True,
             )
             self._thread.start()
         return self
+
+    def _shutdown_resolver(self, timeout: Optional[float]) -> bool:
+        """Plant the resolver sentinel (after the dispatcher has exited,
+        so FIFO guarantees every in-flight batch drains first) and join.
+        No-op True when no resolver is running."""
+        rq, rt = self._resolve_q, self._resolve_thread
+        self._resolve_q = None
+        self._resolve_thread = None
+        if rt is None:
+            return True
+        rq.put(_STOP)
+        rt.join(timeout=timeout)
+        return not rt.is_alive()
 
     def stop(self, drain: bool = True,
              timeout: Optional[float] = 30.0) -> bool:
@@ -223,7 +292,9 @@ class BatchingServer:
             for req in strays:
                 _fail(req.future, RuntimeError(
                     "request raced a server stop and was never dispatched"))
-            return True
+            # in pipelined mode, True additionally means every in-flight
+            # batch has been fetched and its futures resolved
+            return self._shutdown_resolver(timeout)
         return False
 
     def __enter__(self) -> "BatchingServer":
@@ -334,6 +405,7 @@ class BatchingServer:
         # smallest compiled program that fits: with a bucket ladder a
         # partial batch wastes (bucket - n) rows, not (batch_size - n)
         bucket = next(b for b in self._buckets if b >= n)
+        sink = self._resolve_q
         try:
             pixels = np.stack([r.image for r in live])
             if n < bucket:
@@ -344,13 +416,31 @@ class BatchingServer:
             # match, and still serves correctly through the general
             # path if a runtime change (e.g. quant-cache swap) forced
             # a fallback
-            probs = np.asarray(self.vlm.predict(pixels))
+            probs_dev = self.vlm.predict(pixels)
+            if sink is None:
+                probs = np.asarray(probs_dev)
         except Exception as exc:  # noqa: BLE001 — propagate to callers
             with self._lock:
                 self._stats.errors += n
             for req in live:
                 _fail(req.future, exc)
             return
+        if sink is not None:
+            # pipelined lane: start the D2H copy now, hand resolution to
+            # the resolver thread, and return to dispatch the next batch
+            # (the blocking put bounds in-flight device result buffers
+            # at pipeline_depth)
+            try:
+                probs_dev.copy_to_host_async()
+            except AttributeError:  # general-path np output: already host
+                pass
+            sink.put((self, live, probs_dev, bucket, n))
+            return
+        self._finish(live, probs, bucket, n)
+
+    def _finish(self, live: list, probs: np.ndarray, bucket: int, n: int):
+        """Record stats and resolve futures for one served batch (called
+        by the dispatcher inline, or by the resolver in pipelined mode)."""
         now = time.monotonic()
         with self._lock:
             s = self._stats
@@ -377,6 +467,7 @@ class BatchingServer:
             "image_shape": list(self._shape),
             "input_dtype": str(self._dtype),
             "max_wait_ms": self.max_wait_s * 1000.0,
+            "pipeline_depth": self.pipeline_depth,
         }
 
     def stats(self) -> ServerStats:

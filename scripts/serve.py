@@ -63,7 +63,7 @@ class ServingApp:
 
     def __init__(self, vlm, batch_size: int, max_wait_ms: float,
                  input_dtype: str, predict_timeout_s: float = 120.0,
-                 buckets=None):
+                 buckets=None, pipeline_depth: int = 0):
         import jax.numpy as jnp
 
         from bayesvlm_tpu.serve import BatchingServer
@@ -72,6 +72,7 @@ class ServingApp:
         self._make = lambda: BatchingServer(
             vlm, batch_size, max_wait_ms=max_wait_ms,
             input_dtype=self._dtype, buckets=buckets,
+            pipeline_depth=pipeline_depth,
         )
         self.vlm = vlm
         self.verbose = False
@@ -135,7 +136,7 @@ class MultiServingApp:
 
     def __init__(self, vlms: dict, batch_size, max_wait_ms: float,
                  input_dtype, predict_timeout_s: float = 120.0,
-                 buckets=None):
+                 buckets=None, pipeline_depth: int = 0):
         import jax.numpy as jnp
 
         from bayesvlm_tpu.multiserve import MultiModelServer
@@ -147,6 +148,7 @@ class MultiServingApp:
         self._make = lambda: MultiModelServer(
             self.vlms, batch_size, max_wait_ms=max_wait_ms,
             input_dtype=dt, buckets=buckets,
+            pipeline_depth=pipeline_depth,
         )
         self.verbose = False
         self.predict_timeout_s = predict_timeout_s
@@ -351,7 +353,9 @@ def build_app(args):
         app = MultiServingApp(vlms, batch_size, args.max_wait_ms,
                               input_dtype,
                               predict_timeout_s=args.predict_timeout_s,
-                              buckets=buckets)
+                              buckets=buckets,
+                              pipeline_depth=getattr(
+                                  args, "pipeline_depth", 0))
         app.verbose = args.verbose
         return app
 
@@ -361,7 +365,8 @@ def build_app(args):
     app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
                      args.input_dtype,
                      predict_timeout_s=args.predict_timeout_s,
-                     buckets=_parse_buckets(args.buckets))
+                     buckets=_parse_buckets(args.buckets),
+                     pipeline_depth=getattr(args, "pipeline_depth", 0))
     app.verbose = args.verbose
     return app
 
@@ -419,6 +424,12 @@ def parse_args():
                         "or a comma list (e.g. '1,4'); partial batches "
                         "dispatch to the smallest compiled size that "
                         "fits instead of padding to --batch_size")
+    p.add_argument(
+        "--pipeline_depth", type=int, default=0,
+        help="0 resolves each batch inline; >0 overlaps the device->host "
+        "fetch of one batch with the execution of the next (async-fetch "
+        "resolver thread; bounds in-flight unfetched batches). Use 2-8 "
+        "when throughput matters and the device round trip is long.")
     p.add_argument("--predict_timeout_s", type=float, default=120.0,
                    help="bound on a single request's wait for its batch "
                         "result; expiry returns HTTP 504 instead of "

@@ -413,3 +413,51 @@ def test_hbm_footprint_reports_all_lanes(clip_vlm, siglip_vlm):
     assert fp["total"] == pytest.approx(fp["clip"] + fp["siglip"], abs=1e-3)
     for v in fp.values():
         assert v >= 0.0
+
+
+# -- pipelined async-fetch mode (shared resolver across lanes) ---------------
+
+
+def test_pipelined_interleaved_lanes_match_direct(
+        clip_vlm, siglip_vlm, expected):
+    """pipeline_depth>0: one shared resolver fetches while the dispatcher
+    runs the next lane's batch — results per lane must still equal the
+    direct predict chain, in order, across interleaved lanes."""
+    clip_imgs = _images(8, seed=20)
+    sig_imgs = _images(6, seed=21)
+    want_clip = expected("clip", clip_imgs)
+    want_sig = expected("siglip", sig_imgs)
+    with MultiModelServer(
+        {"clip": clip_vlm, "siglip": siglip_vlm},
+        batch_size={"clip": 4, "siglip": 3}, max_wait_ms=10.0,
+        pipeline_depth=2,
+    ) as ms:
+        futs = []
+        for i in range(8):
+            futs.append(("clip", i, ms.submit("clip", clip_imgs[i])))
+            if i < 6:
+                futs.append(("siglip", i, ms.submit("siglip", sig_imgs[i])))
+        for name, i, f in futs:
+            want = want_clip if name == "clip" else want_sig
+            np.testing.assert_allclose(f.result(timeout=120), want[i],
+                                       rtol=1e-5, atol=1e-6)
+        stats = ms.stats()
+        assert stats["clip"].requests == 8
+        assert stats["siglip"].requests == 6
+
+
+def test_pipelined_stop_drain_resolves_everything(clip_vlm, siglip_vlm,
+                                                  expected):
+    imgs = _images(5, seed=22)
+    want = expected("clip", imgs)
+    ms = MultiModelServer(
+        {"clip": clip_vlm, "siglip": siglip_vlm},
+        batch_size={"clip": 2, "siglip": 2}, max_wait_ms=5.0,
+        pipeline_depth=2,
+    ).start()
+    futs = [ms.submit("clip", im) for im in imgs]
+    assert ms.stop(drain=True, timeout=120) is True
+    for i, f in enumerate(futs):
+        assert f.done()  # resolver drained before stop returned
+        np.testing.assert_allclose(f.result(timeout=1), want[i],
+                                   rtol=1e-5, atol=1e-6)

@@ -525,3 +525,73 @@ def test_bucket_ladder_respects_mesh_divisibility():
     srv.batch_size = 12
     with pytest.raises(ValueError, match="divisible"):
         srv._build_ladder(fake_vlm, "pow2")
+
+
+# -- pipelined async-fetch mode (pipeline_depth > 0) -------------------------
+
+
+def test_pipelined_results_match_inline(vlm, reference_predict):
+    """pipeline_depth>0 moves the device->host fetch to a resolver
+    thread; every result must still equal the direct predict chain and
+    all stats must account for every batch."""
+    imgs = _images(n=12, seed=21)
+    expected = reference_predict(imgs)
+    with BatchingServer(vlm, batch_size=4, max_wait_ms=20.0,
+                        pipeline_depth=3) as srv:
+        assert srv.signature()["pipeline_depth"] == 3
+        futs = [srv.submit(im) for im in imgs]
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=120), expected[i],
+                                       rtol=1e-5, atol=1e-6)
+        stats = srv.stats()
+    assert stats.requests == 12
+    assert stats.batches >= 3
+    assert stats.latency_ms_p50 > 0.0
+
+
+def test_pipelined_stop_drain_resolves_in_flight(vlm, reference_predict):
+    """stop(drain=True) in pipelined mode returns True only after the
+    resolver has fetched and resolved every in-flight batch."""
+    imgs = _images(n=7, seed=22)
+    expected = reference_predict(imgs)
+    srv = BatchingServer(vlm, batch_size=2, max_wait_ms=5.0,
+                         pipeline_depth=2).start()
+    futs = [srv.submit(im) for im in imgs]
+    assert srv.stop(drain=True, timeout=120) is True
+    for i, f in enumerate(futs):
+        # done (not merely pending): the resolver drained before stop returned
+        assert f.done()
+        np.testing.assert_allclose(f.result(timeout=1), expected[i],
+                                   rtol=1e-5, atol=1e-6)
+    # restart after stop works (fresh resolver thread)
+    srv.start()
+    try:
+        np.testing.assert_allclose(
+            srv.predict(imgs[0], timeout=120), expected[0],
+            rtol=1e-5, atol=1e-6)
+    finally:
+        assert srv.stop(drain=True, timeout=120) is True
+
+
+def test_pipelined_dispatch_error_propagates(vlm, monkeypatch):
+    def boom(pixels, **kw):
+        raise RuntimeError("injected predict failure")
+
+    srv = BatchingServer(vlm, batch_size=2, max_wait_ms=0.0,
+                         pipeline_depth=2).start()
+    try:
+        monkeypatch.setattr(srv, "vlm", type(
+            "B", (), {"predict": staticmethod(boom)})())
+        futs = [srv.submit(im) for im in _images(n=2, seed=23)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="injected predict"):
+                f.result(timeout=120)
+        assert srv.stats().errors == 2
+    finally:
+        monkeypatch.undo()
+        srv.stop(drain=False, timeout=120)
+
+
+def test_pipeline_depth_validation(vlm):
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        BatchingServer(vlm, batch_size=2, pipeline_depth=-1)
