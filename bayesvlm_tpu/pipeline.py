@@ -57,9 +57,14 @@ class ProbabilisticVLM:
         prior_num_steps: int = 1000,
         mlp_int8: bool = False,
         attn_int8: bool = False,
+        seed: int = 0,
     ) -> "ProbabilisticVLM":
         """Load towers + K-FAC posterior and finalize covariances — the
-        Stage-2 preamble (ref:scripts/zeroshot.py:54-94) as one call."""
+        Stage-2 preamble (ref:scripts/zeroshot.py:54-94) as one call.
+
+        `seed` only matters when weights_dir is None (random-init towers
+        for tests/benchmarks): it makes co-resident lanes of the same
+        family carry DISTINCT weight sets (bench --metric fleet)."""
         from bayesvlm_tpu.bayes.kfac import compute_covariances
         from bayesvlm_tpu.bayes.prior import optimize_prior_precision
         from bayesvlm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
@@ -74,7 +79,7 @@ class ProbabilisticVLM:
         jdtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[dtype]
         image_encoder, text_encoder, head = load_model(
             model_str, weights_dir=weights_dir, dtype=jdtype,
-            mlp_int8=mlp_int8, attn_int8=attn_int8,
+            mlp_int8=mlp_int8, attn_int8=attn_int8, seed=seed,
         )
         if jdtype != jnp.float32:
             # pre-cast the GEMM weights to the compute dtype — otherwise

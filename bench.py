@@ -35,10 +35,17 @@ def _enable_compile_cache():
     this process's --inner children are killed by timeouts mid-run, and a
     kill during jax's non-atomic cache write leaves an entry that segfaults
     later readers (see utils.harden_compilation_cache)."""
+    import os
+
     import jax
 
     from bayesvlm_tpu.utils import harden_compilation_cache
 
+    if os.environ.get("BVT_BENCH_CPU") == "1":
+        # smoke-test lane: run a metric's code path on the CPU backend
+        # (tiny shapes via the BVT_* spec env overrides) without touching
+        # the tunnel; the env var alone is overridden by the axon plugin
+        jax.config.update("jax_platforms", "cpu")
     harden_compilation_cache()
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -89,6 +96,7 @@ _PROBE_CODE = (
 _INNER_TIMEOUT_S = {
     "headline": 1800, "hessian": 1500, "epig": 1500, "knn": 1500,
     "serve": 2400, "family": 2400, "int8": 1800, "stage1": 10800,
+    "coserve_dispatch": 3600, "fleet": 5400,
 }
 
 
@@ -928,6 +936,300 @@ def bench_coserve():
     }))
 
 
+BENCH_HESSIAN_CACHE = "/root/.cache/bvt_bench_hessians"
+
+
+def _synthetic_hessian_dir(model_str: str) -> str:
+    """Random-SPD K-FAC factor dir with the family's true dims (the
+    test-suite recipe at production scale), cached across runs. Lets the
+    serving metrics construct ProbabilisticVLMs through the REAL
+    from_pretrained path (load_hessians -> lambda opt -> covariances)
+    instead of hand-built heads."""
+    import os
+
+    import numpy as np
+
+    from bayesvlm_tpu.io.artifacts import save_hessians, save_prior_precision
+    from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
+
+    cfg = CONFIGS_BY_NAME[model_str]
+    d = os.path.join(BENCH_HESSIAN_CACHE, model_str)
+    done = os.path.join(d, ".complete")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(abs(hash(model_str)) % 2**31)
+
+    def spd(dim, scale):
+        M = rng.normal(size=(dim, dim)).astype(np.float32)
+        return (M @ M.T / dim + np.eye(dim, dtype=np.float32)) * scale
+
+    if cfg.family == "siglip":
+        a_img, a_txt = cfg.vision.mlp_dim + 1, cfg.text.hidden_size + 1
+    else:
+        a_img, a_txt = cfg.vision.hidden_size, cfg.text.hidden_size
+    D = cfg.vision.projection_dim
+    save_hessians(d, spd(a_img, 40.0), spd(D, 25.0), "img")
+    save_hessians(d, spd(a_txt, 35.0), spd(D, 15.0), "txt")
+    save_prior_precision(d, 300.0, 1.0, 300.0, 1.0)
+    open(done, "w").close()
+    return d
+
+
+def _serving_vlm(model_str: str, n_classes: int = 100, seed: int = 0):
+    """ProbabilisticVLM via the real from_pretrained chain (random-init
+    towers, synthetic full-dim K-FAC posterior), class prompts set."""
+    from bayesvlm_tpu.pipeline import ProbabilisticVLM
+
+    vlm = ProbabilisticVLM.from_pretrained(
+        model_str, _synthetic_hessian_dir(model_str),
+        prior_num_steps=30, mesh=None, seed=seed,
+    )
+    return vlm.set_class_prompts(
+        [f"An image of a class {i}" for i in range(n_classes)])
+
+
+def _parse_spec(env_name, default):
+    """'model:batch,model:batch' env override for the serving metrics
+    (lets CPU smoke tests run tiny configs through the same code)."""
+    import os
+
+    raw = os.environ.get(env_name)
+    if not raw:
+        return default
+    out = []
+    for part in raw.split(","):
+        name, b = part.rsplit(":", 1)
+        out.append((name, int(b)))
+    return out
+
+
+def bench_coserve_dispatch():
+    """Co-residency through the REAL dispatcher (round-4 VERDICT #1):
+    ViT-L/14 and SigLIP-base resident in one MultiModelServer, a mixed
+    load pushed through submit() — separate per-model AOT programs
+    multiplexed by the single dispatcher thread with the async-fetch
+    resolver (pipeline_depth), NOT the fused combined-XLA-program proxy
+    of --metric coserve. Headline value: aggregate wall-clock images/sec
+    through the dispatcher under the mixed load; vs_baseline: dispatcher
+    interference = (sum of solo-dispatcher times for the same work) /
+    mixed wall time (1.0 = consolidation is free through the product
+    path too).
+
+    Dev-host caveat (reported, not hidden): every dispatch crosses the
+    axon tunnel, so absolute wall rates carry host->device transfer +
+    RTT that real hosts don't have; the interference ratio compares
+    like with like. uint8 ingest (the production camera lane) keeps
+    H2D 4x smaller."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from bayesvlm_tpu.multiserve import MultiModelServer
+    from bayesvlm_tpu.serve import BatchingServer
+
+    PAIR = _parse_spec("BVT_COSERVE_PAIR",
+                       [("clip-large", 80), ("siglip-base", 192)])
+    N_BATCHES = int(_env_float("BVT_COSERVE_BATCHES", 12))
+    DEPTH = 4
+
+    vlms, images = {}, {}
+    for i, (name, B) in enumerate(PAIR):
+        vlms[name] = _serving_vlm(name, seed=i)
+        size = vlms[name].image_encoder.config.vision.image_size
+        images[name] = np.random.default_rng(i).integers(
+            0, 255, size=(size, size, 3), dtype=np.uint8)
+        _log(f"coserve_dispatch: {name} ready (B={B})")
+
+    batch_size = {name: B for name, B in PAIR}
+
+    def run_load(server, work):
+        """Submit `work` = [(lane, n_requests)] round-robin; returns wall
+        seconds from first submit to last future resolved."""
+        futs = []
+        t0 = time.perf_counter()
+        remaining = {name: n for name, n in work}
+        while any(remaining.values()):
+            for name, _ in work:
+                if remaining[name]:
+                    take = min(remaining[name], batch_size[name])
+                    futs.extend(server.submit(name, images[name])
+                                for _ in range(take))
+                    remaining[name] -= take
+        for f in futs:
+            f.result(timeout=600)
+        return time.perf_counter() - t0
+
+    detail = {}
+    solo_s = {}
+    total_rows = {name: N_BATCHES * B for name, B in PAIR}
+    for name, B in PAIR:
+        srv = MultiModelServer(
+            {name: vlms[name]}, batch_size={name: B}, max_wait_ms=0.0,
+            input_dtype=jnp.uint8, max_queue=8192, pipeline_depth=DEPTH,
+        ).start()
+        try:
+            run_load(srv, [(name, 2 * B)])  # warm dispatch path
+            solo_s[name] = run_load(srv, [(name, total_rows[name])])
+            st = srv.stats()[name]
+            detail[name] = {
+                "B": B,
+                "solo_dispatch_img_s": round(total_rows[name] / solo_s[name], 1),
+                "fill": round(st.fill, 4),
+                "latency_ms_p50": round(st.latency_ms_p50, 1),
+                "latency_ms_p95": round(st.latency_ms_p95, 1),
+            }
+        finally:
+            srv.stop(drain=True, timeout=600)
+        _log(f"coserve_dispatch solo {name}: "
+             f"{detail[name]['solo_dispatch_img_s']} img/s")
+
+    mixed = MultiModelServer(
+        vlms, batch_size=batch_size, max_wait_ms=0.0,
+        input_dtype=jnp.uint8, max_queue=8192, pipeline_depth=DEPTH,
+    ).start()
+    try:
+        run_load(mixed, [(name, 2 * B) for name, B in PAIR])  # warm
+        mixed_s = run_load(mixed, [(n, total_rows[n]) for n, _ in PAIR])
+        for name, _ in PAIR:
+            st = mixed.stats()[name]
+            detail[name]["mixed_fill"] = round(st.fill, 4)
+            detail[name]["mixed_latency_ms_p50"] = round(st.latency_ms_p50, 1)
+        fp = mixed.hbm_footprint()
+    finally:
+        mixed.stop(drain=True, timeout=600)
+
+    total = sum(total_rows.values())
+    mixed_rate = total / mixed_s
+    interference = sum(solo_s.values()) / mixed_s
+    detail["mixed"] = {
+        "wall_s": round(mixed_s, 2),
+        "aggregate_img_s": round(mixed_rate, 1),
+        "dispatcher_interference": round(interference, 4),
+        "hbm_gib": fp,
+        "pipeline_depth": DEPTH,
+        "n_batches_per_lane": N_BATCHES,
+    }
+    print(json.dumps({
+        "metric": "coserve_dispatch_mixed_throughput",
+        "value": round(mixed_rate, 1), "unit": "images/sec/chip",
+        "vs_baseline": round(interference, 4),
+        "baseline": "vs_baseline = dispatcher interference: (sum of solo "
+                    "MultiModelServer walls for the same work) / mixed "
+                    "wall on THIS chip (1.0 = co-residency free through "
+                    "the real submit() path). Supersedes the fused-"
+                    "combined-program proxy (--metric coserve). Absolute "
+                    "img/s includes this dev host's tunnel H2D/RTT per "
+                    "dispatch, absent on real hosts",
+        "detail": detail,
+    }))
+
+
+def bench_fleet():
+    """Co-residency CAPACITY demo (round-4 VERDICT #1b): actually load
+    the memory-envelope-predicted fleet resident on one chip — a mixed
+    dozen (4x ViT-L/14 + 4x ViT-H/14 + 4x SigLIP-base, DISTINCT weight
+    sets) — bring up a serving lane for each, push a burst through every
+    lane via MultiModelServer.submit(), and report per-lane bring-up
+    latency, compiled-HBM footprint, and the device's own bytes_in_use
+    against the 16 GiB budget. Value = resident lanes all serving;
+    vs_baseline = measured device HBM fraction."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from bayesvlm_tpu.multiserve import MultiModelServer
+
+    SPEC = _parse_spec("BVT_FLEET_SPEC",
+                       [("clip-large", 32)] * 4
+                       + [("clip-huge", 32)] * 4
+                       + [("siglip-base", 64)] * 4)
+    BURST_BATCHES = 2
+
+    dev = jax.devices()[0]
+
+    def hbm_gib():
+        try:
+            return round(dev.memory_stats()["bytes_in_use"] / 2**30, 3)
+        except Exception:  # noqa: BLE001 — backend-optional API
+            return None
+
+    vlms, batch_size, images, bringup = {}, {}, {}, {}
+    base_hbm = hbm_gib()
+    for i, (family, B) in enumerate(SPEC):
+        name = f"{family}-{i}"
+        t0 = time.perf_counter()
+        vlm = _serving_vlm(family, seed=i)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vlm.compile_serving(B, input_dtype=jnp.uint8)
+        t_compile = time.perf_counter() - t0
+        vlms[name] = vlm
+        batch_size[name] = B
+        size = vlm.image_encoder.config.vision.image_size
+        images[name] = np.random.default_rng(i).integers(
+            0, 255, size=(size, size, 3), dtype=np.uint8)
+        bringup[name] = {"build_s": round(t_build, 1),
+                         "compile_s": round(t_compile, 1),
+                         "hbm_gib_after": hbm_gib()}
+        _log(f"fleet lane {name}: build {t_build:.1f}s + ladder "
+             f"{t_compile:.1f}s, device HBM {bringup[name]['hbm_gib_after']}")
+
+    server = MultiModelServer(
+        vlms, batch_size=batch_size, max_wait_ms=0.0,
+        input_dtype=jnp.uint8, max_queue=8192, pipeline_depth=4,
+    ).start()
+    try:
+        fp = server.hbm_footprint()
+        futs = {name: [] for name in vlms}
+        t0 = time.perf_counter()
+        for _ in range(BURST_BATCHES):
+            for name in vlms:
+                futs[name].extend(
+                    server.submit(name, images[name])
+                    for _ in range(batch_size[name]))
+        lanes_ok = 0
+        for name, fs in futs.items():
+            probs = [f.result(timeout=600) for f in fs]
+            assert all(np.isfinite(p).all() and p.shape == (100,)
+                       for p in probs), f"lane {name} served bad probs"
+            lanes_ok += 1
+        burst_s = time.perf_counter() - t0
+        burst_rows = sum(len(fs) for fs in futs.values())
+    finally:
+        server.stop(drain=True, timeout=600)
+
+    hbm_final = hbm_gib()
+    detail = {
+        "lanes": bringup,
+        "compiled_hbm_gib": fp,
+        "device_bytes_in_use_gib": hbm_final,
+        "device_bytes_in_use_gib_before": base_hbm,
+        "burst": {"rows": burst_rows, "wall_s": round(burst_s, 2),
+                  "img_s": round(burst_rows / burst_s, 1)},
+        "lanes_serving": lanes_ok,
+    }
+    frac = (hbm_final / 16.0) if hbm_final is not None else None
+    print(json.dumps({
+        "metric": "fleet_resident_lanes_serving",
+        "value": lanes_ok, "unit": "resident serving lanes/chip",
+        "vs_baseline": round(frac, 4) if frac is not None else None,
+        "baseline": "vs_baseline = measured device bytes_in_use / v5e "
+                    "16 GiB HBM with the whole fleet resident (weights + "
+                    "programs + covariances). Demonstrates the BASELINE.md "
+                    "memory-envelope capacity claim by construction, not "
+                    "extrapolation",
+        "detail": detail,
+    }))
+
+
 def bench_int8():
     """Secondary metric: ViT-L/14 vision tower with the opt-in fused
     W8A8 int8 MLP kernel (models/mlp_int8.py, --mlp_int8 in the CLIs) at
@@ -1094,6 +1396,8 @@ _METRIC_FNS = {
     "int8": bench_int8,
     "mem": bench_mem,
     "coserve": bench_coserve,
+    "coserve_dispatch": bench_coserve_dispatch,
+    "fleet": bench_fleet,
 }
 
 # metric key -> the "metric" field its JSON line carries (used for the
@@ -1109,6 +1413,8 @@ _METRIC_JSON_NAME = {
     "int8": "vitl_vision_tower_int8_mlp_throughput",
     "mem": "compiled_peak_hbm_vitl14_b80",
     "coserve": "coserve_vitl_siglip_mixed_throughput",
+    "coserve_dispatch": "coserve_dispatch_mixed_throughput",
+    "fleet": "fleet_resident_lanes_serving",
 }
 
 
