@@ -97,6 +97,7 @@ _INNER_TIMEOUT_S = {
     "headline": 1800, "hessian": 1500, "epig": 1500, "knn": 1500,
     "serve": 2400, "family": 2400, "int8": 1800, "stage1": 10800,
     "coserve_dispatch": 3600, "fleet": 5400,
+    "h2h": 3600, "epig_full": 2400, "coldstart": 7200,
 }
 
 
@@ -1292,6 +1293,426 @@ def bench_int8():
     }))
 
 
+def bench_h2h():
+    """Full-pipeline H2H ON THE CHIP (round-4 VERDICT #2): run the
+    tests/test_e2e_reference_h2h.py fixture chain — the reference's own
+    torch Stage-2 on CPU vs our scripts/zeroshot.py main() on the TPU
+    backend — and report ACC/NLPD/ECE/lambda deltas for the production
+    rows: fp32 (chip numerics alone), bf16 + Pallas attention (the
+    parity headline's configuration), bf16+int8-MLP, and full int8.
+    This pins the real end-to-end chip-numerics calibration cost that
+    the CPU-bf16 suite rows cannot (conftest forces the CPU platform).
+
+    Value = bf16+Pallas dECE vs the torch fp32 reference (the number
+    quoted next to the CPU-bf16 row in BASELINE.md)."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    import jax
+
+    _enable_compile_cache()
+
+    tests_dir = str(_Path(__file__).resolve().parent / "tests")
+    if tests_dir not in _sys.path:
+        _sys.path.insert(0, tests_dir)
+    import test_e2e_reference_h2h as h2h_mod  # inserts reference+scripts paths
+
+    backend = jax.default_backend()
+    _log(f"h2h: torch reference on CPU, ours on '{backend}' backend")
+
+    class _TmpFactory:
+        def mktemp(self, name):
+            import tempfile
+
+            return _Path(tempfile.mkdtemp(prefix=f"bvt_h2h_{name}_"))
+
+    tmp, weights_dir, hessian_dir, hf_vis, hf_txt = (
+        h2h_mod.h2h.__wrapped__(_TmpFactory()))
+    ref_info, (ref_acc, ref_nlpd, ref_ece), _ = h2h_mod._run_reference(
+        hessian_dir, hf_vis, hf_txt)
+    _log(f"h2h torch fp32 reference: ACC {ref_acc:.4f} NLPD {ref_nlpd:.4f} "
+         f"ECE {ref_ece:.4f} lambda ({ref_info['lambda_img']:.3f}, "
+         f"{ref_info['lambda_txt']:.3f})")
+
+    import zeroshot as zs
+
+    rows = {}
+    for row, kw in (
+        ("fp32", dict(dtype="fp32")),
+        ("bf16_pallas", dict(dtype="bf16")),
+        ("bf16_int8mlp", dict(dtype="bf16", mlp_int8=True)),
+        ("bf16_full_int8", dict(dtype="bf16", mlp_int8=True, attn_int8=True)),
+    ):
+        acc, nlpd, ece = zs.main(
+            dataset="synthetic", hessian_dir=str(hessian_dir),
+            model_str="tiny-clip", pseudo_data_count=10, batch_size=32,
+            num_workers=2, weights_dir=str(weights_dir), **kw)
+        info = zs.main.last_info
+        rows[row] = {
+            "acc": round(acc, 4), "nlpd": round(nlpd, 5), "ece": round(ece, 5),
+            "d_acc": round(acc - ref_acc, 4),
+            "d_nlpd": round(nlpd - ref_nlpd, 5),
+            "d_ece": round(ece - ref_ece, 5),
+            "lambda_img_rel": round(
+                info["lambda_img"] / ref_info["lambda_img"] - 1.0, 6),
+            "lambda_txt_rel": round(
+                info["lambda_txt"] / ref_info["lambda_txt"] - 1.0, 6),
+        }
+        _log(f"h2h {row}: dACC {rows[row]['d_acc']:+.4f} "
+             f"dNLPD {rows[row]['d_nlpd']:+.5f} dECE {rows[row]['d_ece']:+.5f}")
+
+    print(json.dumps({
+        "metric": "h2h_onchip_bf16_dece",
+        "value": rows["bf16_pallas"]["d_ece"], "unit": "ECE delta",
+        "vs_baseline": rows["bf16_pallas"]["d_acc"],
+        "baseline": "torch fp32 reference Stage-2 run live on CPU "
+                    "(ref:scripts/zeroshot.py:25-128 semantics) vs our "
+                    f"pipeline on the '{backend}' backend; vs_baseline "
+                    "carries the ACC delta. Rows: fp32 / bf16+Pallas / "
+                    "int8 variants in detail",
+        "detail": {"reference": {
+            "acc": round(ref_acc, 4), "nlpd": round(ref_nlpd, 5),
+            "ece": round(ref_ece, 5),
+            "lambda_img": round(ref_info["lambda_img"], 3),
+            "lambda_txt": round(ref_info["lambda_txt"], 3),
+        }, "rows": rows, "backend": backend},
+    }))
+
+
+def bench_epig_full():
+    """FULL EPIG online budget step on chip (round-4 VERDICT #3): one
+    complete select_epig_online iteration at the reference operating
+    point — probabilistic forward on pool+target, MC sampling + EPIG
+    scoring, argmax/dedup, SGD step on the projection, re-embedding of
+    all pool/target features, rank-1 A update + InfoNCE B update, and
+    the 20-step lambda re-opt (ref:bayesvlm/epig.py:44-273; ours
+    select/epig.py:243). Reports wall ms/step through the REAL function
+    (host syncs included — the product loop is host-driven, as is the
+    reference's) plus an in-graph device-compute breakdown per phase
+    using the serialized-loop recipe."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from bayesvlm_tpu.bayes.hessians import hessian_infonce
+    from bayesvlm_tpu.bayes.kfac import (
+        KroneckerFactorizedCovariance,
+        compute_covariances,
+    )
+    from bayesvlm_tpu.bayes.prior import optimize_prior_precision
+    from bayesvlm_tpu.probforward.smith import ProbabilisticHead
+    from bayesvlm_tpu.select.epig import (
+        epig_from_probs_using_matmul,
+        select_epig_online,
+        update_embeddings,
+    )
+    from bayesvlm_tpu.types import EncoderResult
+
+    # Reference AL operating point (homeoffice-scale): CLIP-B dims,
+    # pool 4000 / target 2000 / C=65 / K=100 MC samples. Env overrides
+    # exist so the CPU smoke lane (BVT_BENCH_CPU=1) can run tiny shapes
+    # through the same code (the XLA fallback materializes the joint).
+    N_p = int(_env_float("BVT_EPIG_POOL", 4000))
+    N_t = int(_env_float("BVT_EPIG_TARGET", 2000))
+    C = int(_env_float("BVT_EPIG_CLASSES", 65))
+    K = int(_env_float("BVT_EPIG_SAMPLES", 100))
+    D, P, Pt = 512, 768, 512
+    BUDGET = 5
+    rng = np.random.default_rng(0)
+
+    def er(n, p):
+        return EncoderResult(
+            embeds=jnp.asarray(rng.normal(size=(n, D)), jnp.float32),
+            activations=jnp.asarray(rng.normal(size=(n, p)), jnp.float32),
+            residuals=jnp.zeros((n, D), jnp.float32),
+        )
+
+    def spd(dim, scale):
+        M = rng.normal(size=(dim, dim)).astype(np.float32)
+        return jnp.asarray((M @ M.T / dim + np.eye(dim, dtype=np.float32))
+                           * scale)
+
+    label_features = er(C, Pt)
+    pool_features = er(N_p, P)
+    target_features = er(N_t, P)
+    pool_class_ids = jnp.asarray(rng.integers(0, C, size=(N_p,)), jnp.int32)
+    kernel = jnp.asarray(rng.normal(size=(P, D)) * 0.02, jnp.float32)
+    A_img, B_img = spd(P, 50.0), spd(D, 30.0)
+    A_txt, B_txt = spd(Pt, 40.0), spd(D, 20.0)
+    head = ProbabilisticHead.create(logit_scale=4.6052)
+    cov_info = {"lambda_img": 300.0, "lambda_txt": 300.0,
+                "n_img": 10.0, "n_txt": 10.0}
+    common = dict(
+        label_features=label_features, pool_features=pool_features,
+        target_features=target_features, pool_class_ids=pool_class_ids,
+        projection_kernel=kernel, projection_bias=None, head=head,
+        A_img=A_img, A_txt=A_txt, B_img=B_img, B_txt=B_txt,
+        cov_info=cov_info, lr=1e-3, hessian_update_scale=1.0,
+        num_samples=K, seed=0, projection_l2=12.3,
+        projection_num_params=P * D, mesh=None,
+    )
+
+    select_epig_online(budget=1, **common)  # compile every phase
+    t0 = time.perf_counter()
+    sel, scores = select_epig_online(budget=BUDGET, **common)
+    wall_ms = (time.perf_counter() - t0) / BUDGET * 1e3
+    assert len(sel) == BUDGET and np.isfinite(scores).all()
+    _log(f"epig_full: {wall_ms:.1f} ms/step wall over {BUDGET} steps")
+
+    # --- in-graph device-compute breakdown (serialized fori loops) ---
+    cov_img, cov_txt = compute_covariances(A_img, B_img, A_txt, B_txt,
+                                           cov_info)
+    head_c = head.set_covariances(cov_img, cov_txt)
+
+    N_IT = 5
+
+    @jax.jit
+    def loop_score(pool, targ, labels):
+        def body(i, carry):
+            p = EncoderResult(embeds=pool.embeds + carry * 1e-20,
+                              activations=pool.activations,
+                              residuals=pool.residuals)
+            lp = head_c(p, labels)
+            lt = head_c(targ, labels)
+            pp = lp.sample_probas(K, seed=0)
+            pt = lt.sample_probas(K, seed=0)
+            return epig_from_probs_using_matmul(pp, pt)[0] * 1e-20
+        return jax.lax.fori_loop(0, N_IT, body, jnp.float32(0.0))
+
+    ms_score = _best_ms(loop_score,
+                        (pool_features, target_features, label_features),
+                        n_iter=N_IT)
+
+    @jax.jit
+    def loop_reembed(kernel, pool, targ):
+        def body(i, carry):
+            k2 = kernel + carry * 1e-20
+            a = update_embeddings(k2, None, pool)
+            b = update_embeddings(k2, None, targ)
+            return (a.embeds[0, 0] + b.embeds[0, 0]) * 1e-20
+        return jax.lax.fori_loop(0, N_IT, body, jnp.float32(0.0))
+
+    ms_reembed = _best_ms(loop_reembed,
+                          (kernel, pool_features, target_features),
+                          n_iter=N_IT)
+
+    emb1 = pool_features.embeds[:1]
+
+    @jax.jit
+    def loop_hess(A, B, act, emb, labels):
+        def body(i, carry):
+            a = act + carry * 1e-20
+            A_new = jnp.outer(a[0], a[0])
+            B_new = hessian_infonce(emb, labels.embeds, head_c.logit_scale)
+            s0, s1 = jnp.sqrt(jnp.float32(327_680 + i)), \
+                jnp.sqrt(jnp.float32(327_681 + i))
+            A2 = (s0 * A + A_new) / s1
+            B2 = (s0 * B + B_new) / s1
+            return (A2[0, 0] + B2[0, 0]) * 1e-20
+        return jax.lax.fori_loop(0, N_IT, body, jnp.float32(0.0))
+
+    ms_hess = _best_ms(
+        loop_hess,
+        (A_img, B_img, pool_features.activations[:1], emb1, label_features),
+        n_iter=N_IT)
+
+    def lam_once():
+        return float(optimize_prior_precision(
+            projection_l2_norm=12.3, projection_num_params=P * D,
+            A=A_img, B=B_img, lmbda_init=300.0, n=10.0, lr=1e-3,
+            num_steps=20))
+
+    lam_once()  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        lam_once()
+    ms_lambda = (time.perf_counter() - t0) / 3 * 1e3  # incl. one RTT
+
+    detail = {
+        "operating_point": {"N_pool": N_p, "N_target": N_t, "C": C, "K": K,
+                            "D": D, "P": P},
+        "wall_ms_per_step": round(wall_ms, 1),
+        "device_breakdown_ms": {
+            "score (forward+sample+EPIG)": round(ms_score, 1),
+            "reembed pool+target": round(ms_reembed, 2),
+            "rank1_hessian_update": round(ms_hess, 2),
+            "lambda_reopt_20steps_incl_rtt": round(ms_lambda, 1),
+        },
+        "budget_steps_timed": BUDGET,
+    }
+    print(json.dumps({
+        "metric": "epig_full_online_step",
+        "value": round(wall_ms, 1), "unit": "ms/step",
+        "vs_baseline": round(ms_score / wall_ms, 3),
+        "baseline": "wall ms/step through the real select_epig_online "
+                    "loop (host-driven like the reference's, "
+                    "ref:bayesvlm/epig.py:44-273; includes this dev "
+                    "host's tunnel RTT per host sync). vs_baseline = "
+                    "device-compute fraction (in-graph scoring time / "
+                    "wall). No reference perf number exists",
+        "detail": detail,
+    }))
+
+
+def bench_coldstart():
+    """Serving bring-up economics (round-4 VERDICT #4): ladder
+    compile_serving time for the flagship family, cold persistent cache
+    vs warm, each in its OWN child process (fresh XLA, fresh cache dir
+    for cold) — plus a guarded probe of jax.experimental.
+    serialize_executable for instant server restarts (the known XLA
+    deserialize SIGSEGV flake means this must be measured go/no-go in a
+    sacrificial child, the int4 playbook)."""
+    import os
+    import subprocess
+    import tempfile
+    import time
+
+    model = os.environ.get("BVT_COLDSTART_MODEL", "clip-large")
+    sizes = os.environ.get("BVT_COLDSTART_SIZES", "8,80")
+    hdir = _synthetic_hessian_dir(model)
+
+    child_code = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os
+if os.environ.get("BVT_BENCH_CPU") == "1":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+import jax
+import jax.numpy as jnp
+from bayesvlm_tpu.utils import harden_compilation_cache
+harden_compilation_cache()
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from bayesvlm_tpu.pipeline import ProbabilisticVLM
+t0 = time.perf_counter()
+vlm = ProbabilisticVLM.from_pretrained(
+    {model!r}, {hdir!r}, prior_num_steps=30, mesh=None)
+vlm.set_class_prompts([f"An image of a class {{i}}" for i in range(100)])
+t_build = time.perf_counter() - t0
+sizes = [int(s) for s in {sizes!r}.split(",")]
+per = {{}}
+for b in sizes:
+    t0 = time.perf_counter()
+    vlm.compile_serving([s for s in sizes if s <= b], input_dtype=jnp.uint8)
+    per[str(b)] = round(time.perf_counter() - t0, 2)
+import numpy as np
+img = np.zeros((sizes[0], *vlm._serving["image_shape"]), np.uint8)
+t0 = time.perf_counter()
+np.asarray(vlm.predict(img))
+t_first = time.perf_counter() - t0
+print("CHILD_JSON " + json.dumps(
+    {{"build_s": round(t_build, 2), "ladder_s": per,
+      "first_predict_s": round(t_first, 2)}}))
+"""
+
+    ser_code = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os
+if os.environ.get("BVT_BENCH_CPU") == "1":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+import jax
+import jax.numpy as jnp
+import numpy as np
+from bayesvlm_tpu.utils import harden_compilation_cache
+harden_compilation_cache()
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+from bayesvlm_tpu.pipeline import ProbabilisticVLM
+vlm = ProbabilisticVLM.from_pretrained(
+    {model!r}, {hdir!r}, prior_num_steps=30, mesh=None)
+vlm.set_class_prompts([f"An image of a class {{i}}" for i in range(100)])
+b = int({sizes!r}.split(",")[0])
+t0 = time.perf_counter()
+vlm.compile_serving(b, input_dtype=jnp.uint8)
+t_compile = time.perf_counter() - t0
+exe = vlm._serving["programs"][b]
+from jax.experimental import serialize_executable as se
+t0 = time.perf_counter()
+blob, in_tree, out_tree = se.serialize(exe)
+t_ser = time.perf_counter() - t0
+t0 = time.perf_counter()
+exe2 = se.deserialize_and_load(blob, in_tree, out_tree)
+t_des = time.perf_counter() - t0
+enc = vlm.image_encoder
+img = jnp.zeros((b, *vlm._serving["image_shape"]), jnp.uint8)
+t0 = time.perf_counter()
+out = np.asarray(exe2(enc.params, enc.quant_vars, vlm._label_features,
+                      vlm.head, img))
+t_call = time.perf_counter() - t0
+ref = np.asarray(vlm.predict(np.zeros((b, *vlm._serving["image_shape"]),
+                                      np.uint8)))
+ok = bool(np.allclose(out, ref, rtol=1e-5, atol=1e-6))
+print("CHILD_JSON " + json.dumps(
+    {{"compile_s": round(t_compile, 2), "serialize_s": round(t_ser, 2),
+      "blob_mib": round(len(blob) / 2**20, 1),
+      "deserialize_s": round(t_des, 2), "first_call_s": round(t_call, 2),
+      "matches_predict": ok}}))
+"""
+
+    def run_child(code, cache_dir, timeout=2400):
+        import sys as _sys
+
+        body = code.format(repo=str(Path(__file__).resolve().parent),
+                           cache=cache_dir, model=model, hdir=hdir,
+                           sizes=sizes)
+        t0 = time.perf_counter()
+        try:
+            p = subprocess.run([_sys.executable, "-c", body],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            return None, time.perf_counter() - t0, "timeout"
+        wall = time.perf_counter() - t0
+        for line in (p.stdout or "").splitlines():
+            if line.startswith("CHILD_JSON "):
+                return json.loads(line[len("CHILD_JSON "):]), wall, "ok"
+        note = (f"rc={p.returncode}"
+                + (f" signal={-p.returncode}" if p.returncode < 0 else ""))
+        tail = (p.stderr or "").strip().splitlines()
+        return None, wall, note + (f": {tail[-1][:200]}" if tail else "")
+
+    fresh = tempfile.mkdtemp(prefix="bvt_coldcache_")
+    cold, cold_wall, cold_note = run_child(child_code, fresh)
+    _log(f"coldstart cold: {cold_note} wall {cold_wall:.1f}s {cold}")
+    warm, warm_wall, warm_note = run_child(child_code, fresh)
+    _log(f"coldstart warm: {warm_note} wall {warm_wall:.1f}s {warm}")
+    ser, ser_wall, ser_note = run_child(ser_code, fresh)
+    _log(f"coldstart serialize probe: {ser_note} {ser}")
+
+    if cold is None or warm is None:
+        _emit_error("serving_coldstart_ladder",
+                    f"cold: {cold_note}; warm: {warm_note}")
+    cold_ladder = sum(cold["ladder_s"].values())
+    warm_ladder = sum(warm["ladder_s"].values())
+    detail = {
+        "model": model, "ladder_sizes": sizes,
+        "cold": {**cold, "process_wall_s": round(cold_wall, 1)},
+        "warm": {**warm, "process_wall_s": round(warm_wall, 1)},
+        "aot_serialize_probe": (
+            {**ser, "verdict": "GO" if ser.get("matches_predict") else
+             "NO-GO (output mismatch)"} if ser is not None
+            else {"verdict": f"NO-GO ({ser_note})"}),
+    }
+    print(json.dumps({
+        "metric": "serving_coldstart_ladder",
+        "value": round(cold_ladder, 1), "unit": "s (cold ladder compile)",
+        "vs_baseline": round(warm_ladder / cold_ladder, 3),
+        "baseline": "vs_baseline = warm/cold ladder-compile ratio on the "
+                    "persistent cache (fresh cache dir per run, own child "
+                    "process each). Serialize-executable restart probe in "
+                    "detail with a GO/NO-GO verdict (known XLA deserialize "
+                    "flake, CLAUDE.md). No reference serving exists",
+        "detail": detail,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -1398,6 +1819,9 @@ _METRIC_FNS = {
     "coserve": bench_coserve,
     "coserve_dispatch": bench_coserve_dispatch,
     "fleet": bench_fleet,
+    "h2h": bench_h2h,
+    "epig_full": bench_epig_full,
+    "coldstart": bench_coldstart,
 }
 
 # metric key -> the "metric" field its JSON line carries (used for the
@@ -1415,6 +1839,9 @@ _METRIC_JSON_NAME = {
     "coserve": "coserve_vitl_siglip_mixed_throughput",
     "coserve_dispatch": "coserve_dispatch_mixed_throughput",
     "fleet": "fleet_resident_lanes_serving",
+    "h2h": "h2h_onchip_bf16_dece",
+    "epig_full": "epig_full_online_step",
+    "coldstart": "serving_coldstart_ladder",
 }
 
 
