@@ -27,6 +27,10 @@ import numpy as np
 
 from bayesvlm_tpu.types import EncoderResult, ProbabilisticLogits
 
+# Bump when the save_serving payload layout or the serve() calling
+# convention changes: load_serving refuses older files.
+_AOT_CACHE_VERSION = 1
+
 
 class ProbabilisticVLM:
     def __init__(self, image_encoder, text_encoder, head, info: dict,
@@ -276,6 +280,230 @@ class ProbabilisticVLM:
             arg_treedef=jax.tree_util.tree_structure(
                 (enc.params, enc.quant_vars, self._label_features,
                  self.head)),
+        )
+        return self
+
+    def save_serving(self, path) -> str:
+        """Serialize the compiled AOT serving ladder to `path` so a
+        server restart can skip XLA compilation entirely
+        (`jax.experimental.serialize_executable` — measured GO on this
+        runtime, BASELINE.md "Serving cold-start economics").
+
+        The file stores, per ladder size, the serialized executable plus
+        its calling convention, and a signature block (platform, device
+        kind, device count, mesh layout, input signature, and the
+        shape/dtype of every runtime-argument leaf). `load_serving`
+        refuses the file unless the signature matches EXACTLY — a stale
+        cache must never serve: executables bake in shapes (class count,
+        projection dim, int8 caches) that the pickled blob cannot
+        re-derive. Written atomically (tmp + rename, the io/orbax_ckpt
+        convention), so a crash mid-save never leaves a torn cache.
+        """
+        import os
+        import pickle
+
+        import jax
+        from jax.experimental import serialize_executable as se
+
+        if self._serving is None:
+            raise ValueError("no compiled serving ladder: call "
+                             "compile_serving before save_serving")
+
+        def serialize_ladder():
+            """Serialize every ladder program and VERIFY each blob by
+            deserializing and executing it against the live executable
+            (bit-equal outputs — same binary). Returns None on any
+            failure: XLA:CPU quirk (measured, /tmp repro in
+            tests/test_aot_cache.py's docstring lineage): an executable
+            that was itself LOADED from the persistent compilation
+            cache re-serializes into a blob missing its kernel-registry
+            entries — it deserializes, then fails at result fetch with
+            'Buffer Definition Event: Function ... not found'. The TPU
+            backend is unaffected (bench --metric coldstart GO with a
+            warm cache)."""
+            srv = self._serving
+            enc = self.image_encoder
+            args = (enc.params, enc.quant_vars, self._label_features,
+                    self.head)
+            exec_devices = (tuple(self.mesh.devices.flat)
+                            if srv["pix_sharding"] is not None
+                            else (jax.devices()[0],))
+
+            def pixels(b):  # fresh per call: the executable donates it
+                z = jnp.zeros((b, *srv["image_shape"]), srv["dtype"])
+                if srv["pix_sharding"] is not None:
+                    z = jax.device_put(z, srv["pix_sharding"])
+                return z
+
+            out = {}
+            for b, exe in sorted(srv["programs"].items()):
+                blob, in_tree, out_tree = se.serialize(exe)
+                try:
+                    g = se.deserialize_and_load(
+                        blob, in_tree, out_tree,
+                        execution_devices=exec_devices)
+                    want = np.asarray(exe(*args, pixels(b)))
+                    got = np.asarray(g(*args, pixels(b)))
+                except Exception:  # noqa: BLE001 — any break -> recompile
+                    return None
+                if not np.array_equal(want, got):
+                    return None
+                out[int(b)] = (blob, in_tree, out_tree)
+            return out
+
+        programs = serialize_ladder()
+        if programs is None:
+            # recompile fresh with the persistent cache disabled — fresh
+            # CPU executables serialize faithfully (measured). reset_cache()
+            # on both sides: jax memoizes the is-cache-used verdict at first
+            # compile, so toggling the config alone is a no-op
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc)
+
+            prev = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+            _cc.reset_cache()
+            try:
+                self.compile_serving(sorted(self._serving["programs"]),
+                                     input_dtype=self._serving["dtype"])
+            finally:
+                jax.config.update("jax_enable_compilation_cache", prev)
+                _cc.reset_cache()
+            programs = serialize_ladder()
+        if programs is None:
+            raise RuntimeError(
+                "serving ladder does not survive serialize/deserialize on "
+                "this backend even when freshly compiled — AOT persistence "
+                "unavailable here; rely on the persistent compilation cache")
+
+        srv = self._serving
+        enc = self.image_encoder
+        args_tree = (enc.params, enc.quant_vars, self._label_features,
+                     self.head)
+        mesh_info = None
+        if srv["pix_sharding"] is not None:
+            axis = srv["pix_sharding"].spec[0]
+            mesh_info = {"axis": axis, "size": int(self.mesh.shape[axis])}
+        dev = jax.devices()[0]
+        payload = {
+            "version": _AOT_CACHE_VERSION,
+            "platform": dev.platform,
+            "device_kind": dev.device_kind,
+            "num_devices": len(jax.devices()),
+            "mesh": mesh_info,
+            "image_shape": tuple(srv["image_shape"]),
+            "dtype": str(srv["dtype"]),
+            "arg_treedef": srv["arg_treedef"],
+            "arg_avals": [(tuple(x.shape), str(jnp.asarray(x).dtype))
+                          for x in jax.tree_util.tree_leaves(args_tree)],
+            "programs": programs,
+        }
+        path = str(path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+        return path
+
+    def load_serving(self, path) -> "ProbabilisticVLM":
+        """Restore an AOT serving ladder saved by `save_serving`,
+        skipping XLA compilation: the instant-restart lane (measured:
+        deserialize+load ~1s vs minutes of ladder compile on a cold
+        cache — BASELINE.md). Raises ValueError on ANY signature
+        mismatch (platform/device/mesh/arg shapes); callers should
+        catch and fall back to compile_serving (scripts/serve.py
+        --aot_cache does exactly that).
+
+        Call this at process start. XLA's deserialize is one of the two
+        code-emitting ops behind the suite's resident-state flake
+        (tests/conftest.py diagnosis); a fresh, lean server process —
+        the production restart scenario — is the regime where it is
+        reliable, and how this is tested.
+        """
+        import pickle
+
+        import jax
+        from jax.experimental import serialize_executable as se
+
+        if self._label_features is None:
+            raise ValueError("call set_class_prompts before load_serving")
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        if payload.get("version") != _AOT_CACHE_VERSION:
+            raise ValueError(
+                f"AOT cache version {payload.get('version')} != "
+                f"{_AOT_CACHE_VERSION}")
+        dev = jax.devices()[0]
+        expect = {"platform": dev.platform, "device_kind": dev.device_kind,
+                  "num_devices": len(jax.devices())}
+        for key, want in expect.items():
+            if payload[key] != want:
+                raise ValueError(
+                    f"AOT cache {key} mismatch: saved "
+                    f"{payload[key]!r}, runtime {want!r}")
+        sharded = self.mesh is not None and self.mesh.devices.size > 1
+        if bool(payload["mesh"]) != sharded:
+            raise ValueError(
+                f"AOT cache mesh layout mismatch: saved "
+                f"{payload['mesh']}, runtime "
+                f"{'sharded' if sharded else 'single-device'}")
+        pix_sharding = rep = None
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = payload["mesh"]["axis"]
+            if (axis not in self.mesh.axis_names
+                    or int(self.mesh.shape[axis]) != payload["mesh"]["size"]):
+                raise ValueError(
+                    f"AOT cache mesh mismatch: saved {payload['mesh']}, "
+                    f"runtime axes {dict(self.mesh.shape)}")
+            pix_sharding = NamedSharding(self.mesh, P(axis, None, None, None))
+            rep = NamedSharding(self.mesh, P())
+            if self.image_encoder.mesh is not self.mesh:
+                self.image_encoder = self.image_encoder.with_mesh(self.mesh)
+            self._label_features = jax.device_put(self._label_features, rep)
+            self.head = jax.device_put(self.head, rep)
+        enc = self.image_encoder
+        enc._validate_quant_cache()
+        args_tree = (enc.params, enc.quant_vars, self._label_features,
+                     self.head)
+        treedef = jax.tree_util.tree_structure(args_tree)
+        if treedef != payload["arg_treedef"]:
+            raise ValueError(
+                "AOT cache runtime-argument structure mismatch "
+                "(e.g. int8 cache present on one side only)")
+        avals = [(tuple(x.shape), str(jnp.asarray(x).dtype))
+                 for x in jax.tree_util.tree_leaves(args_tree)]
+        if avals != payload["arg_avals"]:
+            bad = next((i, a, b) for i, (a, b) in
+                       enumerate(zip(avals, payload["arg_avals"])) if a != b)
+            raise ValueError(
+                f"AOT cache runtime-argument shape/dtype mismatch at "
+                f"leaf {bad[0]}: runtime {bad[1]}, saved {bad[2]} "
+                f"(changed class count / projection / weights layout?)")
+        vcfg = enc.config.vision
+        if tuple(payload["image_shape"]) != (vcfg.image_size,
+                                             vcfg.image_size, 3):
+            raise ValueError(
+                f"AOT cache image shape {payload['image_shape']} != model "
+                f"{(vcfg.image_size, vcfg.image_size, 3)}")
+        # deserialize_and_load defaults execution_devices to EVERY backend
+        # device — wrong for a 1-device program on a multi-device backend
+        # (and for a mesh narrower than the backend): pass the devices the
+        # program was actually compiled for
+        exec_devices = (tuple(self.mesh.devices.flat) if sharded
+                        else (jax.devices()[0],))
+        programs = {
+            int(b): se.deserialize_and_load(blob, in_tree, out_tree,
+                                            execution_devices=exec_devices)
+            for b, (blob, in_tree, out_tree) in payload["programs"].items()
+        }
+        self._serving = dict(
+            programs=programs,
+            image_shape=tuple(payload["image_shape"]),
+            dtype=jnp.dtype(payload["dtype"]),
+            pix_sharding=pix_sharding, rep=rep,
+            arg_treedef=treedef,
         )
         return self
 

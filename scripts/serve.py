@@ -325,6 +325,35 @@ def _load_vlm(args, model_str, hessian_dir, weights_dir, tokenizer_dir,
     return vlm.set_class_prompts(prompts)
 
 
+def _aot_restore(vlm, path, verbose):
+    """Try the instant-restart lane (pipeline.load_serving); returns the
+    restored serving dict (the staleness sentinel for _aot_persist) or
+    None when the cache is absent/stale — the caller's BatchingServer
+    then compiles as usual."""
+    try:
+        vlm.load_serving(path)
+        if verbose:
+            print(f"[aot_cache] restored serving ladder from {path}",
+                  flush=True)
+        return vlm._serving
+    except FileNotFoundError:
+        return None
+    except Exception as exc:  # noqa: BLE001 — any stale cache -> recompile
+        print(f"[aot_cache] stale ({exc}); recompiling", flush=True)
+        return None
+
+
+def _aot_persist(vlm, path, restored, verbose):
+    """Save the ladder iff BatchingServer (re)compiled it — i.e. the
+    serving dict is not the one load_serving restored."""
+    if vlm._serving is None or vlm._serving is restored:
+        return
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    vlm.save_serving(path)
+    if verbose:
+        print(f"[aot_cache] saved serving ladder to {path}", flush=True)
+
+
 def build_app(args):
     from bayesvlm_tpu.utils import apply_device_flag
 
@@ -350,6 +379,11 @@ def build_app(args):
             batch_size[name] = int(spec.get("batch_size", args.batch_size))
             buckets[name] = _parse_buckets(spec.get("buckets", args.buckets))
             input_dtype[name] = spec.get("input_dtype", args.input_dtype)
+        restored = {}
+        if args.aot_cache:
+            restored = {name: _aot_restore(
+                vlm, Path(args.aot_cache) / f"{name}.aotserv", args.verbose)
+                for name, vlm in vlms.items()}
         app = MultiServingApp(vlms, batch_size, args.max_wait_ms,
                               input_dtype,
                               predict_timeout_s=args.predict_timeout_s,
@@ -357,17 +391,28 @@ def build_app(args):
                               pipeline_depth=getattr(
                                   args, "pipeline_depth", 0))
         app.verbose = args.verbose
+        if args.aot_cache:
+            for name, vlm in vlms.items():
+                _aot_persist(vlm, Path(args.aot_cache) / f"{name}.aotserv",
+                             restored.get(name), args.verbose)
         return app
 
     vlm = _load_vlm(args, args.model_str, args.hessian_dir,
                     args.weights_dir, args.tokenizer_dir, args.dtype,
                     args.mlp_int8, args.classes_json, args.text_prompt)
+    restored = None
+    if args.aot_cache:
+        restored = _aot_restore(
+            vlm, Path(args.aot_cache) / "serving.aotserv", args.verbose)
     app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
                      args.input_dtype,
                      predict_timeout_s=args.predict_timeout_s,
                      buckets=_parse_buckets(args.buckets),
                      pipeline_depth=getattr(args, "pipeline_depth", 0))
     app.verbose = args.verbose
+    if args.aot_cache:
+        _aot_persist(vlm, Path(args.aot_cache) / "serving.aotserv",
+                     restored, args.verbose)
     return app
 
 
@@ -434,6 +479,13 @@ def parse_args():
                    help="bound on a single request's wait for its batch "
                         "result; expiry returns HTTP 504 instead of "
                         "leaking a blocked handler thread")
+    p.add_argument(
+        "--aot_cache", default=None,
+        help="directory for serialized AOT serving ladders "
+             "(pipeline.save_serving): a restart deserializes the "
+             "compiled executables (~ms) instead of recompiling; a "
+             "stale/mismatched cache is detected and recompiled. "
+             "Multi-model mode writes <name>.aotserv per lane")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--verbose", action="store_true")

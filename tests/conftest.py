@@ -81,7 +81,12 @@ def clip_l14_hessian_dir():
 # BVT_ISOLATED=1 pytest tests/test_tp.py (explicitly naming the file on
 # the command line also works).
 
-ISOLATED_FILES = ("test_tp.py", "test_serve.py", "test_types_fullcov.py")
+ISOLATED_FILES = ("test_tp.py", "test_serve.py", "test_types_fullcov.py",
+                  # deserialize_executable is one of the two code-emitting
+                  # XLA ops behind the resident-state flake; its tests run
+                  # in a lean child by construction (also the production
+                  # restart scenario they model)
+                  "test_aot_cache.py")
 
 
 # Keep the suite process SMALL: round-4 diagnosis of the tail crashes
