@@ -348,8 +348,14 @@ def _aot_persist(vlm, path, restored, verbose):
     serving dict is not the one load_serving restored."""
     if vlm._serving is None or vlm._serving is restored:
         return
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    vlm.save_serving(path)
+    try:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        vlm.save_serving(path)
+    except Exception as exc:  # noqa: BLE001 — persistence is best-effort;
+        # the server must come up even where executables can't serialize
+        print(f"[aot_cache] save failed ({exc}); serving without cache",
+              flush=True)
+        return
     if verbose:
         print(f"[aot_cache] saved serving ladder to {path}", flush=True)
 
@@ -379,10 +385,11 @@ def build_app(args):
             batch_size[name] = int(spec.get("batch_size", args.batch_size))
             buckets[name] = _parse_buckets(spec.get("buckets", args.buckets))
             input_dtype[name] = spec.get("input_dtype", args.input_dtype)
+        aot_cache = getattr(args, "aot_cache", None)
         restored = {}
-        if args.aot_cache:
+        if aot_cache:
             restored = {name: _aot_restore(
-                vlm, Path(args.aot_cache) / f"{name}.aotserv", args.verbose)
+                vlm, Path(aot_cache) / f"{name}.aotserv", args.verbose)
                 for name, vlm in vlms.items()}
         app = MultiServingApp(vlms, batch_size, args.max_wait_ms,
                               input_dtype,
@@ -391,27 +398,28 @@ def build_app(args):
                               pipeline_depth=getattr(
                                   args, "pipeline_depth", 0))
         app.verbose = args.verbose
-        if args.aot_cache:
+        if aot_cache:
             for name, vlm in vlms.items():
-                _aot_persist(vlm, Path(args.aot_cache) / f"{name}.aotserv",
+                _aot_persist(vlm, Path(aot_cache) / f"{name}.aotserv",
                              restored.get(name), args.verbose)
         return app
 
     vlm = _load_vlm(args, args.model_str, args.hessian_dir,
                     args.weights_dir, args.tokenizer_dir, args.dtype,
                     args.mlp_int8, args.classes_json, args.text_prompt)
+    aot_cache = getattr(args, "aot_cache", None)
     restored = None
-    if args.aot_cache:
+    if aot_cache:
         restored = _aot_restore(
-            vlm, Path(args.aot_cache) / "serving.aotserv", args.verbose)
+            vlm, Path(aot_cache) / "serving.aotserv", args.verbose)
     app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
                      args.input_dtype,
                      predict_timeout_s=args.predict_timeout_s,
                      buckets=_parse_buckets(args.buckets),
                      pipeline_depth=getattr(args, "pipeline_depth", 0))
     app.verbose = args.verbose
-    if args.aot_cache:
-        _aot_persist(vlm, Path(args.aot_cache) / "serving.aotserv",
+    if aot_cache:
+        _aot_persist(vlm, Path(aot_cache) / "serving.aotserv",
                      restored, args.verbose)
     return app
 
