@@ -42,6 +42,7 @@ class ProbabilisticVLM:
         self.transform = transform
         self.mesh = mesh
         self._label_features: Optional[EncoderResult] = None
+        self._class_prompts: Optional[list] = None
         self._serving: Optional[dict] = None
 
     # -- construction ---------------------------------------------------
@@ -71,10 +72,42 @@ class ProbabilisticVLM:
         family carry DISTINCT weight sets (bench --metric fleet)."""
         from bayesvlm_tpu.bayes.kfac import compute_covariances
         from bayesvlm_tpu.bayes.prior import optimize_prior_precision
+        from bayesvlm_tpu.io.artifacts import load_hessians
+
+        image_encoder, text_encoder, head, mesh, transform = (
+            cls._build_towers(model_str, weights_dir, tokenizer_dir,
+                              dtype, mesh, mlp_int8, attn_int8, seed))
+
+        A_img, B_img = load_hessians(hessian_dir, tag="img")
+        A_txt, B_txt = load_hessians(hessian_dir, tag="txt")
+        info = {"n_img": pseudo_data_count, "n_txt": pseudo_data_count}
+        info["lambda_img"] = float(optimize_prior_precision(
+            image_encoder.projection_l2(),
+            image_encoder.projection_num_params(),
+            A=A_img, B=B_img, lmbda_init=lambda_init, n=info["n_img"],
+            lr=prior_lr, num_steps=prior_num_steps,
+        ))
+        info["lambda_txt"] = float(optimize_prior_precision(
+            text_encoder.projection_l2(),
+            text_encoder.projection_num_params(),
+            A=A_txt, B=B_txt, lmbda_init=lambda_init, n=info["n_txt"],
+            lr=prior_lr, num_steps=prior_num_steps,
+        ))
+        cov_img, cov_txt = compute_covariances(A_img, B_img, A_txt, B_txt, info)
+        head = head.set_covariances(cov_img, cov_txt)
+        return cls(image_encoder, text_encoder, head, info,
+                   transform=transform, mesh=mesh)
+
+    @classmethod
+    def _build_towers(cls, model_str, weights_dir, tokenizer_dir, dtype,
+                      mesh, mlp_int8, attn_int8, seed):
+        """Weights-only tower construction shared by from_pretrained and
+        from_serving_cache: load/init encoders, pre-cast GEMM weights to
+        the compute dtype, place on the mesh, attach tokenizer and
+        transform. No Hessian artifacts, no XLA compilation."""
         from bayesvlm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
         from bayesvlm_tpu.data.transforms import get_transform
         from bayesvlm_tpu.dist.mesh import resolve_auto_mesh
-        from bayesvlm_tpu.io.artifacts import load_hessians
         from bayesvlm_tpu.models import load_model
         from bayesvlm_tpu.models.configs import CONFIGS_BY_NAME
         from bayesvlm_tpu.utils import get_image_size
@@ -116,27 +149,73 @@ class ProbabilisticVLM:
                 config.text.vocab_size, config.text.max_length,
                 eos_id=config.text.eos_token_id,
             )
-
-        A_img, B_img = load_hessians(hessian_dir, tag="img")
-        A_txt, B_txt = load_hessians(hessian_dir, tag="txt")
-        info = {"n_img": pseudo_data_count, "n_txt": pseudo_data_count}
-        info["lambda_img"] = float(optimize_prior_precision(
-            image_encoder.projection_l2(),
-            image_encoder.projection_num_params(),
-            A=A_img, B=B_img, lmbda_init=lambda_init, n=info["n_img"],
-            lr=prior_lr, num_steps=prior_num_steps,
-        ))
-        info["lambda_txt"] = float(optimize_prior_precision(
-            text_encoder.projection_l2(),
-            text_encoder.projection_num_params(),
-            A=A_txt, B=B_txt, lmbda_init=lambda_init, n=info["n_txt"],
-            lr=prior_lr, num_steps=prior_num_steps,
-        ))
-        cov_img, cov_txt = compute_covariances(A_img, B_img, A_txt, B_txt, info)
-        head = head.set_covariances(cov_img, cov_txt)
         transform = get_transform(config.family, get_image_size(model_str))
-        return cls(image_encoder, text_encoder, head, info,
-                   transform=transform, mesh=mesh)
+        return image_encoder, text_encoder, head, mesh, transform
+
+    @classmethod
+    def from_serving_cache(
+        cls,
+        model_str: str,
+        path,
+        weights_dir: Optional[str] = None,
+        tokenizer_dir: Optional[str] = None,
+        dtype: str = "bf16",
+        mesh="auto",
+        mlp_int8: bool = False,
+        attn_int8: bool = False,
+        seed: int = 0,
+    ) -> "ProbabilisticVLM":
+        """Bring a serving VLM up from a `save_serving(...,
+        include_runtime=True)` file with NO XLA compilation and NO
+        Hessian artifacts: towers are built weights-only
+        (`_build_towers`), label features / covariance-finalized head /
+        λ info are restored from the file, and the compiled ladder is
+        deserialized (`load_serving`). Restart cost = weights load +
+        deserialize (~ms of XLA work) instead of the full Stage-2
+        preamble (λ re-opt + covariances + text-tower compile + prompt
+        encode — 82-240 s for ViT-L on this host, BASELINE.md).
+
+        All `load_serving` signature checks apply (device kind/count,
+        mesh layout, every runtime-arg shape/dtype), so a file from a
+        different family, dtype, class count, or int8 configuration is
+        refused. The weights under `weights_dir` must be the ones the
+        ladder was compiled against — shapes are checked, value
+        identity is the operator's contract (as with any checkpoint).
+        Label swaps still work afterwards: `set_class_prompts`
+        invalidates the ladder and the text tower compiles then.
+        """
+        import pickle
+
+        import jax
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        if payload.get("version") != _AOT_CACHE_VERSION:
+            raise ValueError(
+                f"AOT cache version {payload.get('version')} != "
+                f"{_AOT_CACHE_VERSION}")
+        runtime = payload.get("runtime")
+        if runtime is None:
+            raise ValueError(
+                "AOT cache was saved with include_runtime=False — it has "
+                "no label features / head; use from_pretrained + "
+                "load_serving instead")
+        image_encoder, text_encoder, head0, mesh, transform = (
+            cls._build_towers(model_str, weights_dir, tokenizer_dir,
+                              dtype, mesh, mlp_int8, attn_int8, seed))
+
+        def tree_from_host(stored):
+            treedef, leaves = stored
+            return jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in leaves])
+
+        vlm = cls(image_encoder, text_encoder,
+                  tree_from_host(runtime["head"]),
+                  info=dict(runtime["info"]),
+                  transform=transform, mesh=mesh)
+        vlm._label_features = tree_from_host(runtime["label_features"])
+        vlm._class_prompts = runtime.get("class_prompts")
+        return vlm.load_serving(path)
 
     # -- encoding -------------------------------------------------------
 
@@ -168,6 +247,7 @@ class ProbabilisticVLM:
     def set_class_prompts(self, prompts: Sequence[str]) -> "ProbabilisticVLM":
         """Embed and cache the label set once for repeated predict calls."""
         old = self._label_features
+        self._class_prompts = list(prompts)
         self._label_features = self.encode_texts(prompts)
         if self._serving is not None and (
             old is None
@@ -283,11 +363,22 @@ class ProbabilisticVLM:
         )
         return self
 
-    def save_serving(self, path) -> str:
+    def save_serving(self, path, include_runtime: bool = True) -> str:
         """Serialize the compiled AOT serving ladder to `path` so a
         server restart can skip XLA compilation entirely
         (`jax.experimental.serialize_executable` — measured GO on this
         runtime, BASELINE.md "Serving cold-start economics").
+
+        With `include_runtime` (default) the file also carries the
+        serving-state runtime arguments — class-prompt label features,
+        the covariance-finalized Bayesian head, and `info` (the
+        optimized λs) — so `from_serving_cache` can bring a server up
+        WITHOUT Hessian artifacts, λ re-optimization, or any text-tower
+        compile: restart cost becomes weights load + deserialize.
+        Weights themselves are NOT stored (point `from_serving_cache`
+        at the same weights_dir); shape/dtype mismatches are refused,
+        value identity of the weights is the operator's contract, as
+        with any checkpoint directory.
 
         The file stores, per ladder size, the serialized executable plus
         its calling convention, and a signature block (platform, device
@@ -398,6 +489,22 @@ class ProbabilisticVLM:
                           for x in jax.tree_util.tree_leaves(args_tree)],
             "programs": programs,
         }
+        if include_runtime:
+            def tree_to_host(tree):
+                leaves, treedef = jax.tree_util.tree_flatten(tree)
+                return treedef, [np.asarray(x) for x in leaves]
+
+            payload["runtime"] = {
+                "label_features": tree_to_host(self._label_features),
+                "head": tree_to_host(self.head),
+                "info": dict(self.info),
+                # provenance for staleness checks (scripts/serve.py
+                # refuses a full restore when the configured prompt set
+                # no longer matches what the labels were encoded from)
+                "class_prompts": (list(self._class_prompts)
+                                  if self._class_prompts is not None
+                                  else None),
+            }
         path = str(path)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:

@@ -310,6 +310,11 @@ def _parse_buckets(spec):
     return "pow2" if spec == "pow2" else [int(b) for b in spec.split(",")]
 
 
+def _build_prompts(classes_json, text_prompt):
+    return [text_prompt.format(class_name=c)
+            for c in json.loads(Path(classes_json).read_text())]
+
+
 def _load_vlm(args, model_str, hessian_dir, weights_dir, tokenizer_dir,
               dtype, mlp_int8, classes_json, text_prompt):
     from bayesvlm_tpu.pipeline import ProbabilisticVLM
@@ -320,9 +325,40 @@ def _load_vlm(args, model_str, hessian_dir, weights_dir, tokenizer_dir,
         dtype=dtype, mesh="auto" if args.use_mesh else None,
         mlp_int8=mlp_int8,
     )
-    prompts = [text_prompt.format(class_name=c)
-               for c in json.loads(Path(classes_json).read_text())]
-    return vlm.set_class_prompts(prompts)
+    return vlm.set_class_prompts(_build_prompts(classes_json, text_prompt))
+
+
+def _aot_full_restore(path, verbose, *, model_str, weights_dir,
+                      tokenizer_dir, dtype, mlp_int8, use_mesh, prompts):
+    """Try the ZERO-COMPILE restart lane (pipeline.from_serving_cache):
+    towers built weights-only, labels/head/λ restored from the cache
+    file, ladder deserialized — no Hessian artifacts, no λ re-opt, no
+    text-tower compile. Returns (vlm, restored_serving) or (None, None)
+    when the file is absent/stale or was saved from a DIFFERENT prompt
+    set than the one configured now (the labels in the file would be
+    stale — the caller falls back to the full build, which re-encodes
+    prompts and can still reuse the ladder programs via _aot_restore:
+    labels are runtime arguments, only their shape is baked in)."""
+    from bayesvlm_tpu.pipeline import ProbabilisticVLM
+
+    try:
+        vlm = ProbabilisticVLM.from_serving_cache(
+            model_str, path, weights_dir=weights_dir,
+            tokenizer_dir=tokenizer_dir, dtype=dtype,
+            mesh="auto" if use_mesh else None, mlp_int8=mlp_int8)
+    except FileNotFoundError:
+        return None, None
+    except Exception as exc:  # noqa: BLE001 — any stale cache -> rebuild
+        print(f"[aot_cache] full restore unavailable ({exc}); building",
+              flush=True)
+        return None, None
+    if vlm._class_prompts != list(prompts):
+        print("[aot_cache] configured prompt set differs from the cached "
+              "labels; rebuilding", flush=True)
+        return None, None
+    if verbose:
+        print(f"[aot_cache] zero-compile restore from {path}", flush=True)
+    return vlm, vlm._serving
 
 
 def _aot_restore(vlm, path, verbose):
@@ -343,10 +379,13 @@ def _aot_restore(vlm, path, verbose):
         return None
 
 
-def _aot_persist(vlm, path, restored, verbose):
+def _aot_persist(vlm, path, restored, verbose, refresh=False):
     """Save the ladder iff BatchingServer (re)compiled it — i.e. the
-    serving dict is not the one load_serving restored."""
-    if vlm._serving is None or vlm._serving is restored:
+    serving dict is not the one load_serving restored — or when
+    `refresh` says the file's runtime block is missing/stale (the
+    ladder was reused but the next restart should get the zero-compile
+    lane with CURRENT labels)."""
+    if vlm._serving is None or (vlm._serving is restored and not refresh):
         return
     try:
         Path(path).parent.mkdir(parents=True, exist_ok=True)
@@ -370,27 +409,47 @@ def build_app(args):
         if not isinstance(manifest, dict) or not manifest:
             raise ValueError("--models_json must be a non-empty JSON dict "
                              "name -> model spec")
-        vlms, batch_size, buckets, input_dtype = {}, {}, {}, {}
+        aot_cache = getattr(args, "aot_cache", None)
+        vlms, batch_size, buckets = {}, {}, {}
+        input_dtype, restored, refresh = {}, {}, {}
         for name, spec in manifest.items():
-            vlms[name] = _load_vlm(
-                args, spec.get("model_str", args.model_str),
-                spec["hessian_dir"],
-                spec.get("weights_dir", args.weights_dir),
-                spec.get("tokenizer_dir", args.tokenizer_dir),
-                spec.get("dtype", args.dtype),
-                bool(spec.get("mlp_int8", args.mlp_int8)),
-                spec["classes_json"],
-                spec.get("text_prompt", args.text_prompt),
-            )
+            vlm = rst = None
+            if aot_cache:
+                vlm, rst = _aot_full_restore(
+                    Path(aot_cache) / f"{name}.aotserv", args.verbose,
+                    model_str=spec.get("model_str", args.model_str),
+                    weights_dir=spec.get("weights_dir", args.weights_dir),
+                    tokenizer_dir=spec.get("tokenizer_dir",
+                                           args.tokenizer_dir),
+                    dtype=spec.get("dtype", args.dtype),
+                    mlp_int8=bool(spec.get("mlp_int8", args.mlp_int8)),
+                    use_mesh=args.use_mesh,
+                    prompts=_build_prompts(
+                        spec["classes_json"],
+                        spec.get("text_prompt", args.text_prompt)),
+                )
+            if vlm is None:
+                vlm = _load_vlm(
+                    args, spec.get("model_str", args.model_str),
+                    spec["hessian_dir"],
+                    spec.get("weights_dir", args.weights_dir),
+                    spec.get("tokenizer_dir", args.tokenizer_dir),
+                    spec.get("dtype", args.dtype),
+                    bool(spec.get("mlp_int8", args.mlp_int8)),
+                    spec["classes_json"],
+                    spec.get("text_prompt", args.text_prompt),
+                )
+                if aot_cache:
+                    rst = _aot_restore(
+                        vlm, Path(aot_cache) / f"{name}.aotserv",
+                        args.verbose)
+                    # ladder reused but the zero-compile lane refused:
+                    # refresh the file's runtime block for next restart
+                    refresh[name] = rst is not None
+            vlms[name], restored[name] = vlm, rst
             batch_size[name] = int(spec.get("batch_size", args.batch_size))
             buckets[name] = _parse_buckets(spec.get("buckets", args.buckets))
             input_dtype[name] = spec.get("input_dtype", args.input_dtype)
-        aot_cache = getattr(args, "aot_cache", None)
-        restored = {}
-        if aot_cache:
-            restored = {name: _aot_restore(
-                vlm, Path(aot_cache) / f"{name}.aotserv", args.verbose)
-                for name, vlm in vlms.items()}
         app = MultiServingApp(vlms, batch_size, args.max_wait_ms,
                               input_dtype,
                               predict_timeout_s=args.predict_timeout_s,
@@ -401,17 +460,30 @@ def build_app(args):
         if aot_cache:
             for name, vlm in vlms.items():
                 _aot_persist(vlm, Path(aot_cache) / f"{name}.aotserv",
-                             restored.get(name), args.verbose)
+                             restored.get(name), args.verbose,
+                             refresh=refresh.get(name, False))
         return app
 
-    vlm = _load_vlm(args, args.model_str, args.hessian_dir,
-                    args.weights_dir, args.tokenizer_dir, args.dtype,
-                    args.mlp_int8, args.classes_json, args.text_prompt)
     aot_cache = getattr(args, "aot_cache", None)
-    restored = None
+    vlm = restored = None
     if aot_cache:
-        restored = _aot_restore(
-            vlm, Path(aot_cache) / "serving.aotserv", args.verbose)
+        vlm, restored = _aot_full_restore(
+            Path(aot_cache) / "serving.aotserv", args.verbose,
+            model_str=args.model_str, weights_dir=args.weights_dir,
+            tokenizer_dir=args.tokenizer_dir, dtype=args.dtype,
+            mlp_int8=args.mlp_int8, use_mesh=args.use_mesh,
+            prompts=_build_prompts(args.classes_json, args.text_prompt))
+    refresh = False
+    if vlm is None:
+        vlm = _load_vlm(args, args.model_str, args.hessian_dir,
+                        args.weights_dir, args.tokenizer_dir, args.dtype,
+                        args.mlp_int8, args.classes_json, args.text_prompt)
+        if aot_cache:
+            restored = _aot_restore(
+                vlm, Path(aot_cache) / "serving.aotserv", args.verbose)
+            # ladder reused but the zero-compile lane refused: refresh
+            # the file's runtime block for next restart
+            refresh = restored is not None
     app = ServingApp(vlm, args.batch_size, args.max_wait_ms,
                      args.input_dtype,
                      predict_timeout_s=args.predict_timeout_s,
@@ -420,7 +492,7 @@ def build_app(args):
     app.verbose = args.verbose
     if aot_cache:
         _aot_persist(vlm, Path(aot_cache) / "serving.aotserv",
-                     restored, args.verbose)
+                     restored, args.verbose, refresh=refresh)
     return app
 
 

@@ -165,6 +165,35 @@ def test_sharded_roundtrip(hessian_dir, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_from_serving_cache_zero_compile_restore(hessian_dir, tmp_path):
+    src = _make_vlm(hessian_dir).compile_serving([2, 4])
+    imgs = _images(4, seed=11)
+    expected = np.asarray(src.predict(imgs))
+    path = src.save_serving(tmp_path / "full.aotserv")
+
+    vlm = ProbabilisticVLM.from_serving_cache(
+        "tiny-clip", path, dtype="fp32", mesh=None)
+    # full serving state restored: labels, prompt provenance, λ info,
+    # covariance-finalized head, compiled ladder
+    assert vlm._class_prompts == PROMPTS
+    assert vlm._label_features is not None
+    assert vlm.info["lambda_img"] == src.info["lambda_img"]
+    assert sorted(vlm._serving["programs"]) == [2, 4]
+    np.testing.assert_allclose(np.asarray(vlm.predict(imgs)), expected,
+                               rtol=1e-5, atol=1e-6)
+    # label swaps still work afterwards (text tower compiles lazily)
+    vlm.set_class_prompts(PROMPTS[:3])
+    assert np.asarray(vlm.predict(imgs)).shape == (4, 3)
+
+
+def test_from_serving_cache_requires_runtime_block(hessian_dir, tmp_path):
+    path = _make_vlm(hessian_dir).compile_serving(2).save_serving(
+        tmp_path / "bare.aotserv", include_runtime=False)
+    with pytest.raises(ValueError, match="include_runtime"):
+        ProbabilisticVLM.from_serving_cache(
+            "tiny-clip", path, dtype="fp32", mesh=None)
+
+
 def test_serve_cli_aot_cache_skips_recompile(hessian_dir, tmp_path,
                                              monkeypatch):
     spec = importlib.util.spec_from_file_location(
@@ -184,28 +213,66 @@ def test_serve_cli_aot_cache_skips_recompile(hessian_dir, tmp_path,
         aot_cache=str(tmp_path / "aot"), verbose=False,
     )
 
-    compiles = []
-    orig = ProbabilisticVLM.compile_serving
+    compiles, builds = [], []
+    orig_compile = ProbabilisticVLM.compile_serving
+    orig_fp = ProbabilisticVLM.from_pretrained.__func__
 
-    def counting(self, *a, **kw):
+    def counting_compile(self, *a, **kw):
         compiles.append(1)
-        return orig(self, *a, **kw)
+        return orig_compile(self, *a, **kw)
 
-    monkeypatch.setattr(ProbabilisticVLM, "compile_serving", counting)
+    def counting_fp(cls, *a, **kw):
+        builds.append(1)
+        return orig_fp(cls, *a, **kw)
+
+    monkeypatch.setattr(ProbabilisticVLM, "compile_serving",
+                        counting_compile)
+    monkeypatch.setattr(ProbabilisticVLM, "from_pretrained",
+                        classmethod(counting_fp))
 
     app1 = serve_script.build_app(args)
     try:
-        assert compiles, "first build must compile"
+        assert compiles and builds, "first build must compile + build"
         assert (tmp_path / "aot" / "serving.aotserv").exists()
     finally:
         app1.server.stop(drain=False)
 
-    compiles.clear()
+    compiles.clear(), builds.clear()
     app2 = serve_script.build_app(args)
     try:
         assert not compiles, "warm --aot_cache build recompiled"
+        assert not builds, ("warm --aot_cache build ran the full Stage-2 "
+                            "preamble instead of from_serving_cache")
         img = _images(1, seed=5)[0]
         probs = app2.predict(img)
         assert probs.shape == (4,) and np.isfinite(probs).all()
     finally:
         app2.server.stop(drain=False)
+
+    # prompt set changed on disk -> full restore refuses (stale labels),
+    # the normal build re-encodes and reuses/refreshes the ladder (the
+    # refresh-save may recompile inside save_serving: serialize of a
+    # DESERIALIZED executable is not faithful on this backend, so its
+    # verification falls back to a fresh compile — a one-time migration
+    # cost, not a serving regression)
+    classes.write_text(json.dumps([f"other {i}" for i in range(4)]))
+    compiles.clear(), builds.clear()
+    app3 = serve_script.build_app(args)
+    try:
+        assert builds, "changed prompts must rebuild labels"
+        probs = app3.predict(_images(1, seed=6)[0])
+        assert probs.shape == (4,) and np.isfinite(probs).all()
+    finally:
+        app3.server.stop(drain=False)
+
+    # ...and the refreshed file makes the NEXT restart zero-compile
+    # again, now carrying the new prompt set
+    compiles.clear(), builds.clear()
+    app4 = serve_script.build_app(args)
+    try:
+        assert not builds and not compiles, (
+            "restart after refresh should be zero-compile")
+        probs = app4.predict(_images(1, seed=7)[0])
+        assert probs.shape == (4,) and np.isfinite(probs).all()
+    finally:
+        app4.server.stop(drain=False)
